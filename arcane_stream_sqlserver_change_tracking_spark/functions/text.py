@@ -1,0 +1,33 @@
+"""Arrow-vectorized text normalization (pandas UDF — the only Python
+touching data in the hot path; everything else is Catalyst expressions).
+
+The reference applies no scalar transforms to user data (SURVEY.md §2.8),
+but our transcript payload requires normalization per BASELINE.json
+``input_hint`` ("vectorized pandas/Arrow UDFs (no per-row Python)").
+Pattern: Series→Series ``pandas_udf`` so Spark ships Arrow batches and
+pandas executes the whole batch vectorized.
+
+``normalize_text_pandas`` is the exact same function applied to a plain
+pandas Series — tests use it as the oracle so engine and oracle share
+one definition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def normalize_text_pandas(s: pd.Series) -> pd.Series:
+    """NFC-normalize, strip C0 control chars (except \\t\\n), collapse
+    whitespace runs, trim. Vectorized pandas string ops throughout."""
+    out = s.str.normalize("NFC")
+    out = out.str.replace(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "", regex=True)
+    out = out.str.replace(r"\s+", " ", regex=True)
+    return out.str.strip()
+
+
+# DataType instance (not DDL string) so the UDF can be declared without
+# an active SparkSession at import time
+normalize_text = F.pandas_udf(normalize_text_pandas, T.StringType())

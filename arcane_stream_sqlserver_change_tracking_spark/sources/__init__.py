@@ -1,0 +1,9 @@
+from .changelog import synth_transcripts_changelog, events_as_changelog
+from .incremental import version_chunks, incremental_read
+
+__all__ = [
+    "synth_transcripts_changelog",
+    "events_as_changelog",
+    "version_chunks",
+    "incremental_read",
+]

@@ -1,0 +1,332 @@
+"""T5/T4/K3/K4 — the stream runner: bootstrap → resume → per-batch apply
+→ commit(watermark+lineage), plus backfill and maintenance cadence.
+
+Mirrors the reference graph (main.scala:69-117; SURVEY.md §3.1):
+
+    source poll (version > watermark)            -> sources/incremental.py
+    -> throughput shaping (max_events_per_batch) -> version_chunks
+    -> field filtering                            -> operators/fields.py
+    -> text normalization (Arrow pandas UDF)      -> functions/text.py
+    -> merge-key synthesis + salted dedup         -> functions/keys.py, operators/dedup.py
+    -> schema migration (additive)                -> operators/schema_evolution.py
+    -> MERGE (bucket-pruned copy-on-write)        -> operators/merge.py + plans/lake.py
+    -> watermark + per-partition lineage COMMIT   -> plans/lake.py (atomic)
+    -> maintenance every N batches                -> plans/lake.py
+
+Exactly-once: the watermark is a property of the same atomic snapshot
+commit that publishes the merged files, so a crash at any point leaves
+either (old files, old watermark) or (new files, new watermark) — a
+re-run re-selects `version > watermark` and cannot double-apply. The
+reference gets the same end state via idempotent MERGE + post-commit
+watermark write (StreamRunner.scala:250-258); we strengthen the window.
+
+Fail-fast resume contract: running against a table whose watermark was
+never prepared raises ``WatermarkNotSetError("Invalid watermark value:
+'null'")`` exactly like the reference (StreamRunner.scala:167-185);
+``bootstrap()`` prepares the epoch watermark like ``MsSqlWatermark.epoch``
+(StreamRunner.scala:188-192).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.keys import (
+    MERGE_KEY_COL,
+    OPERATION_COL,
+    VERSION_COL,
+    bucket_expr,
+    normalize_column_names,
+    with_merge_key,
+)
+from ..functions.text import normalize_text
+from ..operators.dedup import latest_change_per_key
+from ..operators.fields import FieldFilter
+from ..operators.merge import plan_merge
+from ..operators.schema_evolution import diff_schemas
+from ..plans.lake import LakeTable
+from ..sources.incremental import chunk_filter, incremental_read, version_chunks
+
+_BUCKET = "__b"
+
+#: system columns never promoted into the evolving payload schema
+SYSTEM_COLS = (VERSION_COL, OPERATION_COL, MERGE_KEY_COL, _BUCKET)
+
+
+class WatermarkNotSetError(RuntimeError):
+    pass
+
+
+@dataclass
+class EngineOptions:
+    key_columns: tuple[str, ...] = ("conv_id", "turn_idx")
+    num_buckets: int = 32
+    max_events_per_batch: int = 500_000          # rowsPerGroup analog (quickstart.md:66)
+    dedup_strategy: str = "salted"
+    num_salts: int = 16
+    normalize_text_columns: tuple[str, ...] = ()  # e.g. ("text",)
+    field_filter: FieldFilter = field(default_factory=FieldFilter)
+    broadcast_threshold_rows: int = 2_000_000     # batch keys broadcast below this
+    max_rows_per_file: int = 1_000_000            # maxRowsPerFile analog (CRD:72-75)
+    sort_within: tuple[str, ...] = ()             # sortedBy analog (docs/crd.md:117-119)
+    maintenance_interval_batches: int = 60        # reference default (yaml-example:49-52)
+    compact_file_threshold_bytes: int = 512 * 1024 * 1024
+    expire_keep_last: int = 20
+    # K3 retry policy (CRD:181-211): retry merge on transient errors
+    retry_max_attempts: int = 3
+    retry_base_seconds: float = 0.1
+    retry_scale_factor: float = 2.0
+    retry_on_message_contents: tuple[str, ...] = ()
+
+
+@dataclass
+class BatchResult:
+    batch_seq: int
+    rows_in: int
+    rows_deduped: int
+    max_version: int
+    touched_buckets: int
+    apply_seconds: float
+    skipped: bool = False
+
+
+class CdcEngine:
+    def __init__(self, spark: SparkSession, table: LakeTable, options: EngineOptions | None = None):
+        self.spark = spark
+        self.table = table
+        self.opts = options or EngineOptions()
+        self.metrics: list[BatchResult] = []
+
+    # ------------------------------------------------------------------
+    # bootstrap (T5 DefaultStreamBootstrapper: ensure target + epoch wm)
+    # ------------------------------------------------------------------
+    def bootstrap(self, payload_schema: T.StructType, epoch_version: int = 0) -> None:
+        fields = list(payload_schema.fields)
+        names = {f.name for f in fields}
+        if MERGE_KEY_COL not in names:
+            fields.append(T.StructField(MERGE_KEY_COL, T.StringType(), False))
+        if VERSION_COL not in names:
+            fields.append(T.StructField(VERSION_COL, T.LongType(), True))
+        schema = T.StructType(fields)
+        self.table.create(
+            schema,
+            num_buckets=self.opts.num_buckets,
+            key_columns=list(self.opts.key_columns),
+            watermark={"version": epoch_version, "batch_seq": 0, "partitions": []},
+        )
+
+    def current_watermark(self) -> int:
+        wm = self.table.watermark()
+        if wm is None or wm.get("version") is None:
+            # exact reference failure message, StreamRunner.scala:183
+            raise WatermarkNotSetError("Invalid watermark value: 'null'")
+        return int(wm["version"])
+
+    # ------------------------------------------------------------------
+    # per-batch apply
+    # ------------------------------------------------------------------
+    def _prepare(self, batch: DataFrame) -> DataFrame:
+        """normalize names -> field filter -> text normalize -> merge key
+        -> salted dedup -> bucket id. All lazily declared; one cached
+        result per batch."""
+        df = normalize_column_names(batch)
+        df = self.opts.field_filter.apply(df)
+        for c in self.opts.normalize_text_columns:
+            if c in df.columns:
+                df = df.withColumn(c, normalize_text(F.col(c)))
+        df = with_merge_key(df, list(self.opts.key_columns))
+        df = latest_change_per_key(
+            df,
+            strategy=self.opts.dedup_strategy,
+            num_salts=self.opts.num_salts,
+        )
+        return df.withColumn(_BUCKET, bucket_expr(MERGE_KEY_COL, self.table.num_buckets))
+
+    def apply_batch(self, batch: DataFrame, batch_seq: int | None = None) -> BatchResult:
+        """Apply one micro-batch (the foreachBatch body)."""
+        t0 = time.monotonic()
+        wm = self.current_watermark()
+        seq = batch_seq if batch_seq is not None else int(self.table.watermark().get("batch_seq", 0)) + 1
+
+        deduped = self._prepare(batch).persist()
+        try:
+            # ONE job yields: touched buckets, per-bucket lineage, max version
+            bucket_stats = (
+                deduped.groupBy(_BUCKET)
+                .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))
+                .collect()
+            )
+            if not bucket_stats:
+                return BatchResult(seq, 0, 0, wm, 0, time.monotonic() - t0, skipped=True)
+            max_version = max(int(r["last_version"]) for r in bucket_stats)
+            rows_deduped = sum(int(r["rows"]) for r in bucket_stats)
+            if max_version <= wm:
+                # idempotence guard: already applied (crash-replay window)
+                return BatchResult(seq, rows_deduped, rows_deduped, max_version, 0,
+                                   time.monotonic() - t0, skipped=True)
+            touched = sorted(int(r[_BUCKET]) for r in bucket_stats)
+
+            # schema migration (K6): diff batch payload vs table schema
+            target_schema = self.table.schema()
+            diff = diff_schemas(target_schema, deduped.schema, system_columns=SYSTEM_COLS)
+            evolved = diff.evolved
+            target_cols = [f.name for f in evolved.fields]
+
+            existing = self.table.read(buckets=touched)
+            broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
+            plan = plan_merge(existing, deduped, target_cols, broadcast_keys=broadcast)
+            new_state = plan.new_state
+            # enforce exact evolved types (lit(None) columns are NullType)
+            new_state = new_state.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+            )
+
+            # per-partition lineage (FIXTURES.md §3): bucket = the stable
+            # partition identity; latency measured up to commit start
+            pre_commit_ms = int((time.monotonic() - t0) * 1000)
+            lineage = [
+                {
+                    "partition_id": int(r[_BUCKET]),
+                    "last_version": int(r["last_version"]),
+                    "rows_applied": int(r["rows"]),
+                    "apply_latency_ms": pre_commit_ms,
+                }
+                for r in bucket_stats
+            ]
+            def do_commit():
+                return self.table.replace_buckets(
+                    new_state,
+                    buckets=touched,
+                    schema=evolved if diff.changed else None,
+                    watermark={
+                        "version": max_version,
+                        "batch_seq": seq,
+                        "partitions": lineage,
+                    },
+                    lineage=lineage,
+                    max_rows_per_file=self.opts.max_rows_per_file,
+                    sort_within=list(self.opts.sort_within) or None,
+                )
+
+            self._with_retry(do_commit)
+            dt = time.monotonic() - t0
+            result = BatchResult(
+                batch_seq=seq, rows_in=rows_deduped, rows_deduped=rows_deduped,
+                max_version=max_version, touched_buckets=len(touched), apply_seconds=dt,
+            )
+            self.metrics.append(result)
+            return result
+        finally:
+            deduped.unpersist()
+
+    def _with_retry(self, fn: Callable[[], Any]) -> Any:
+        """K3 retry semantics: exponential backoff, retry only when the
+        error message contains a configured substring (CRD:195-211)."""
+        attempt = 0
+        delay = self.opts.retry_base_seconds
+        while True:
+            try:
+                return fn()
+            except Exception as e:  # noqa: BLE001 - policy-driven retry
+                attempt += 1
+                retriable = any(s in str(e) for s in self.opts.retry_on_message_contents)
+                if not retriable or attempt >= self.opts.retry_max_attempts:
+                    raise
+                time.sleep(delay)
+                delay *= self.opts.retry_scale_factor
+
+    # ------------------------------------------------------------------
+    # the loop (streaming replay mode)
+    # ------------------------------------------------------------------
+    def run_incremental(
+        self,
+        changelog: DataFrame,
+        max_batches: int | None = None,
+        maintenance: bool = True,
+    ) -> list[BatchResult]:
+        """Drain all pending changes (version > watermark) in
+        count-balanced micro-batches. This is the batch-replay twin of
+        the polling loop; call it per poll tick for continuous mode."""
+        wm = self.current_watermark()
+        pending = incremental_read(normalize_column_names(changelog), wm)
+        chunks = version_chunks(pending, self.opts.max_events_per_batch)
+        results: list[BatchResult] = []
+        for i, (lo, hi) in enumerate(chunks):
+            if max_batches is not None and i >= max_batches:
+                break
+            res = self.apply_batch(chunk_filter(pending, lo, hi))
+            results.append(res)
+            if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
+                self.run_maintenance()
+        return results
+
+    # ------------------------------------------------------------------
+    # backfill (T4)
+    # ------------------------------------------------------------------
+    def backfill(
+        self,
+        snapshot: DataFrame,
+        behavior: str = "overwrite",
+        capture_version: int | None = None,
+    ) -> None:
+        """Full reload. ``overwrite`` replaces the table content
+        (backfillBehavior: Overwrite, CRD:116-118); ``merge`` upserts the
+        snapshot (Merge). The watermark is set to ``capture_version``
+        (the source version captured before the backfill started) so
+        change capture resumes without a gap — reference sequence
+        stream→backfill→stream, StreamRunner.scala:196-258."""
+        df = normalize_column_names(snapshot)
+        if OPERATION_COL not in df.columns:
+            df = df.withColumn(OPERATION_COL, F.lit("I"))
+        if VERSION_COL not in df.columns:
+            df = df.withColumn(VERSION_COL, F.lit(0).cast("long"))
+        if behavior == "merge":
+            self.apply_batch(df)
+            return
+        if behavior != "overwrite":
+            raise ValueError(f"unknown backfill behavior: {behavior!r}")
+        wm_before = self.table.watermark() or {}
+        df = with_merge_key(df, list(self.opts.key_columns))
+        df = latest_change_per_key(df, strategy=self.opts.dedup_strategy,
+                                   num_salts=self.opts.num_salts)
+        df = df.filter(F.col(OPERATION_COL) != "D")
+        target_schema = self.table.schema()
+        diff = diff_schemas(target_schema, df.schema, system_columns=SYSTEM_COLS)
+        out = df.select(
+            *[
+                (F.col(f.name) if f.name in df.columns else F.lit(None))
+                .cast(f.dataType).alias(f.name)
+                for f in diff.evolved.fields
+            ]
+        )
+        version = capture_version if capture_version is not None else int(wm_before.get("version", 0))
+        self.table.overwrite(
+            out,
+            watermark={"version": version,
+                       "batch_seq": int(wm_before.get("batch_seq", 0)) + 1,
+                       "partitions": []},
+            max_rows_per_file=self.opts.max_rows_per_file,
+            sort_within=list(self.opts.sort_within) or None,
+        )
+
+    # ------------------------------------------------------------------
+    # maintenance cadence (K7)
+    # ------------------------------------------------------------------
+    def run_maintenance(self) -> None:
+        self.table.rewrite_data_files(
+            file_size_threshold_bytes=self.opts.compact_file_threshold_bytes
+        )
+        self.table.expire_snapshots(keep_last=self.opts.expire_keep_last)
+        self.table.remove_orphan_files()
+
+    # ------------------------------------------------------------------
+    # reading the replicated state
+    # ------------------------------------------------------------------
+    def current_state(self) -> DataFrame:
+        return self.table.read()
