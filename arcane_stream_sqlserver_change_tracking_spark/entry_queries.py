@@ -1,0 +1,573 @@
+"""Driver-contract queries: each entry pairs a Spark DataFrame builder
+(the engine's operators over /root/testdata parquet) with an ANSI-SQL
+oracle that DuckDB runs on the same tables.
+
+Naming follows SURVEY.md §2's operator inventory (W1, P1, P3, F1, J2,
+A1, ...) plus the training-data-pipeline operators (dedup family,
+similarity search, text analysis).
+
+Cross-engine determinism rules used throughout:
+* hashes are md5/sha256 (identical hex in both engines) — never
+  Spark-private hash functions in any value that DuckDB must reproduce;
+* floating-point reductions are left folds in array order in BOTH
+  engines (Spark ``aggregate``, DuckDB ``list_reduce``) → bit-identical
+  doubles; results rounded for belt-and-braces;
+* counts cast to long/bigint on both sides; every computed column
+  aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .functions.analysis import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    PUNCT_RE,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    bpe_token_count,
+    ws_token_count,
+)
+from .functions.keys import (
+    KEY_SEP,
+    MERGE_KEY_COL,
+    OPERATION_COL,
+    VERSION_COL,
+)
+from .operators.corpus import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.dedup import latest_change_per_key
+from .operators.fields import FieldFilter
+from .operators.merge import plan_merge
+from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+from .plans.lake import LakeTable
+from .sources.changelog import events_as_changelog
+from .streaming.runner import CdcEngine, EngineOptions
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = events_as_changelog(_t(spark, sf_dir, "events"))
+    return df.withColumn(
+        MERGE_KEY_COL, F.sha2(F.col("user_id").cast("string").cast("binary"), 256)
+    )
+
+
+#: the changelog CTE shared by every CDC oracle (op mapping mirrors
+#: sources/changelog.events_as_changelog)
+_LOG_CTE = """
+log AS (
+  SELECT event_id AS sys_change_version,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS sys_change_operation,
+         user_id, ts, event_type, value, props
+  FROM events)
+"""
+
+
+# ---------------------------------------------------------------------------
+# CDC core (SURVEY.md §2.1-2.5)
+# ---------------------------------------------------------------------------
+
+def q_w1_net_change_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: salted two-phase latest-change-per-key."""
+    log = _events_changelog(spark, sf_dir)
+    out = latest_change_per_key(log, strategy="salted")
+    return out.select(
+        "user_id",
+        F.col(VERSION_COL).alias("last_version"),
+        F.col(OPERATION_COL).alias("last_op"),
+        "event_type",
+        "value",
+    )
+
+
+SQL_W1 = f"""
+WITH {_LOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log)
+SELECT user_id, sys_change_version AS last_version,
+       sys_change_operation AS last_op, event_type, value
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_cdc_replay_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full replay final state: latest per key, deletes drop the row."""
+    log = _events_changelog(spark, sf_dir)
+    latest = latest_change_per_key(log, strategy="salted")
+    return latest.filter(F.col(OPERATION_COL) != "D").select(
+        "user_id",
+        F.col(VERSION_COL).alias("last_version"),
+        "event_type",
+        "value",
+    )
+
+
+SQL_REPLAY = f"""
+WITH {_LOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log)
+SELECT user_id, sys_change_version AS last_version, event_type, value
+FROM ranked WHERE rn = 1 AND sys_change_operation <> 'D'
+"""
+
+
+def q_j2_merge_as_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: the MERGE expressed as anti-join + union, applied as
+    base(version<=5000) + incremental(version>5000). Must equal the
+    one-shot replay — proving merge composition."""
+    log = _events_changelog(spark, sf_dir)
+    base_log = log.filter(F.col(VERSION_COL) <= 5000)
+    base = latest_change_per_key(base_log, strategy="salted").filter(
+        F.col(OPERATION_COL) != "D"
+    )
+    changes = latest_change_per_key(
+        log.filter(F.col(VERSION_COL) > 5000), strategy="salted"
+    )
+    cols = [MERGE_KEY_COL, "user_id", VERSION_COL, "event_type", "value"]
+    plan = plan_merge(base.select(*cols), changes, cols)
+    return plan.new_state.select(
+        "user_id", F.col(VERSION_COL).alias("last_version"), "event_type", "value"
+    )
+
+
+def q_f1_merge_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: composite merge-key synthesis (sha2-256, unit-separated)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .withColumn(
+            MERGE_KEY_COL,
+            F.sha2(
+                F.concat_ws(
+                    KEY_SEP, F.col("user_id").cast("string"), F.col("event_type")
+                ).cast("binary"),
+                256,
+            ),
+        )
+    )
+
+
+SQL_F1 = f"""
+SELECT DISTINCT user_id, event_type,
+       sha256(user_id::varchar || chr(31) || event_type) AS arcane_merge_key
+FROM events
+"""
+
+
+def q_p3_incremental_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: version-range predicate (pushed to the scan by Catalyst)."""
+    log = _events_changelog(spark, sf_dir)
+    return log.filter(F.col(VERSION_COL) > 5000).select(
+        VERSION_COL, "user_id", "event_type", "value"
+    )
+
+
+SQL_P3 = f"""
+WITH {_LOG_CTE}
+SELECT sys_change_version, user_id, event_type, value
+FROM log WHERE sys_change_version > 5000
+"""
+
+
+def q_p1_field_filtering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: exclude-rule projection; essential CDC fields survive."""
+    log = _events_changelog(spark, sf_dir)
+    filt = FieldFilter("exclude", ("props", "value", "sys_change_version"))
+    return filt.apply(log).drop(MERGE_KEY_COL)
+
+
+SQL_P1 = f"""
+WITH {_LOG_CTE}
+SELECT sys_change_version, sys_change_operation, user_id, ts, event_type
+FROM log
+"""
+
+
+def q_a1_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: count-based batch grouping + per-batch metrics."""
+    log = _events_changelog(spark, sf_dir)
+    return (
+        log.withColumn(
+            "batch_id", F.floor((F.col(VERSION_COL) - 1) / F.lit(2000)).cast("long")
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min(VERSION_COL).alias("min_version"),
+            F.max(VERSION_COL).alias("max_version"),
+            F.countDistinct("user_id").cast("long").alias("n_keys"),
+        )
+    )
+
+
+SQL_A1 = f"""
+WITH {_LOG_CTE}
+SELECT CAST(floor((sys_change_version - 1) / 2000) AS bigint) AS batch_id,
+       count(*) AS n_rows,
+       min(sys_change_version) AS min_version,
+       max(sys_change_version) AS max_version,
+       count(DISTINCT user_id) AS n_keys
+FROM log GROUP BY 1
+"""
+
+
+def q_cdc_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship: run the actual engine end-to-end — bootstrap a
+    lake table in a temp dir, drain the events changelog in
+    micro-batches through dedup/merge/watermark commits, read back the
+    replicated state. Oracle = one-shot SQL replay."""
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_e2e_")
+    table = LakeTable(spark, os.path.join(root, "t"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(
+            key_columns=("user_id",),
+            num_buckets=16,
+            max_events_per_batch=2500,
+        ),
+    )
+    eng.bootstrap(payload)
+    eng.run_incremental(events_as_changelog(_t(spark, sf_dir, "events")))
+    return eng.current_state().select(
+        "user_id",
+        F.col("sys_change_version").alias("last_version"),
+        "event_type",
+        "value",
+        "props",
+    )
+
+
+SQL_E2E = f"""
+WITH {_LOG_CTE},
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log)
+SELECT user_id, sys_change_version AS last_version, event_type, value, props
+FROM ranked WHERE rn = 1 AND sys_change_operation <> 'D'
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline: dedup family (documents)
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+_SHINGLE_CTE = """
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 7, 1))) AS g
+  FROM documents),
+sh AS (SELECT DISTINCT doc_id, substr(text, g, 8) AS shingle FROM pos)
+"""
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), num_perms=16, num_bands=4)
+
+
+def _sql_minhash(num_perms: int = 16, num_bands: int = 4) -> str:
+    rows = num_perms // num_bands
+    mins = ",\n         ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_perms)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)),
+        )
+        for b in range(num_bands)
+    )
+    return f"""
+WITH {_SHINGLE_CTE},
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id),
+bands AS (
+{bands})
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM bands x JOIN bands y USING (band_idx, band_hash)
+WHERE x.doc_id < y.doc_id
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM sh x JOIN sh y USING (shingle)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2)
+SELECT a, b,
+       round(inter::double / (na.n + nb.n - inter), 6) AS jaccard
+FROM inter
+JOIN sizes na ON na.doc_id = a
+JOIN sizes nb ON nb.doc_id = b
+WHERE round(inter::double / (na.n + nb.n - inter), 6) >= 0.5
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_t(spark, sf_dir, "documents"), bits=32)
+
+
+SQL_SIMHASH = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint AS h FROM toks),
+bits AS (
+  SELECT doc_id, j, sum(((h >> j) & 1) * 2 - 1) AS v
+  FROM h, (SELECT unnest(generate_series(0, 31)) AS j) js
+  GROUP BY doc_id, j)
+SELECT doc_id,
+       CAST(sum(CASE WHEN v > 0 THEN (1::bigint << j) ELSE 0 END) AS bigint) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), x -> x[1] * x[2]), "
+    "(acc, x) -> acc + x)"
+)
+_NORM = "sqrt(list_reduce(list_transform({a}, x -> x * x), (acc, x) -> acc + x))"
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, F.col("vec_id") < 20, k=5)
+
+
+SQL_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 20),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         round(({_DOT.format(a='qvec', b='c.vec')})
+               / (({_NORM.format(a='qvec')}) * ({_NORM.format(a='c.vec')})), 9) AS sim
+  FROM q, v c WHERE c.vec_id <> query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_assign(_t(spark, sf_dir, "embeddings"), centroid_stride=50)
+
+
+SQL_IVF_ASSIGN = f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT v.vec_id, centroid_id,
+         round(({_DOT.format(a='vec', b='cvec')})
+               / (({_NORM.format(a='vec')}) * ({_NORM.format(a='cvec')})), 9) AS sim
+  FROM v, c),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probed ANN — rows-only check (multi-stage plan; the exact
+    brute-force twin is q_embedding_topk)."""
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 20, k=5, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis (documents)
+# ---------------------------------------------------------------------------
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = rf"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bigint) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr("text").alias("pred_lang"))
+
+
+def _sql_lang_id() -> str:
+    def score(lang: str) -> str:
+        return " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in LANG_MARKERS[lang]
+        )
+
+    return f"""
+WITH scored AS (
+  SELECT doc_id,
+         ({score('en')}) AS en, ({score('de')}) AS de,
+         ({score('fr')}) AS fr, ({score('es')}) AS es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS zh
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN zh > 0 THEN 'zh'
+       WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+       WHEN de >= fr AND de >= es THEN 'de'
+       WHEN fr >= es THEN 'fr'
+       ELSE 'es' END AS pred_lang
+FROM scored
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr("text").alias("quality"))
+
+
+def _sql_quality() -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in LANG_MARKERS["en"]
+    )
+    return rf"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok,
+         CAST(length(text) AS bigint) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS bigint) AS punct,
+         CAST(({stop}) AS bigint) AS stop
+  FROM documents)
+SELECT doc_id,
+  round(
+    least(1.0, n_tok / 100.0)
+    * (1.0 - punct::double / greatest(n_chars, 1))
+    * (0.25 + 0.75 * least(1.0, stop::double / greatest(n_tok, 1) * 10.0)),
+  6) AS quality
+FROM m
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint_expr(_t(spark, sf_dir, "documents"), window=16)
+
+
+SQL_FINGERPRINT = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text) - 15, 1))) AS g
+  FROM documents)
+SELECT doc_id, min(md5(substr(text, g, 16))) AS fingerprint
+FROM pos GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "w1_net_change_dedup": q_w1_net_change_dedup,
+        "cdc_replay_final_state": q_cdc_replay_final_state,
+        "j2_merge_as_join": q_j2_merge_as_join,
+        "f1_merge_key": q_f1_merge_key,
+        "p3_incremental_filter": q_p3_incremental_filter,
+        "p1_field_filtering": q_p1_field_filtering,
+        "a1_batch_stats": q_a1_batch_stats,
+        "cdc_engine_e2e": q_cdc_engine_e2e,
+        "exact_dedup": q_exact_dedup,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_topk_cosine": q_embedding_topk,
+        "ivf_assign": q_ivf_assign,
+        "ivf_topk_ann": q_ivf_topk,          # rows-only (no oracle)
+        "token_counts": q_token_counts,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_fingerprint,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "w1_net_change_dedup": SQL_W1,
+        "cdc_replay_final_state": SQL_REPLAY,
+        "j2_merge_as_join": SQL_REPLAY,  # merge composition == one-shot replay
+        "f1_merge_key": SQL_F1,
+        "p3_incremental_filter": SQL_P3,
+        "p1_field_filtering": SQL_P1,
+        "a1_batch_stats": SQL_A1,
+        "cdc_engine_e2e": SQL_E2E,
+        "exact_dedup": SQL_EXACT_DEDUP,
+        "minhash_lsh_pairs": _sql_minhash(16, 4),
+        "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+        "simhash": SQL_SIMHASH,
+        "embedding_topk_cosine": SQL_TOPK,
+        "ivf_assign": SQL_IVF_ASSIGN,
+        "token_counts": SQL_TOKEN_COUNTS,
+        "lang_id": _sql_lang_id(),
+        "quality_score": _sql_quality(),
+        "doc_fingerprint": SQL_FINGERPRINT,
+    }

@@ -1,0 +1,183 @@
+"""Corpus-scale deduplication operators for training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+
+* everything is explode → hash → groupBy with map-side partial
+  aggregation (Catalyst collapses per-task before shuffling);
+* candidate generation is always *bucketed* (LSH band / simhash band /
+  shared shingle) so the pair join is an equi-join on a bucket key —
+  never an O(n²) cross join;
+* hash functions are md5-derived so they are engine-independent — the
+  DuckDB oracle computes the identical signatures (no Spark-private
+  hash in any data path that needs cross-engine verification).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup by content hash: one surviving (min id) row per
+    distinct text. Returns (text_hash, keep_id, n_dups)."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").cast("long").alias("n_dups"))
+    )
+
+
+def char_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 8
+) -> DataFrame:
+    """Distinct character k-gram shingles per document: (id, shingle)."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1)))
+    ).alias("g")
+    return (
+        df.select(F.col(id_col), F.col(text_col).alias("__t"), pos)
+        .select(id_col, F.substring(F.col("__t"), F.col("g"), k).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_perms: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signature per doc: perm i = min over shingles of
+    md5(i || ':' || shingle). One groupBy, num_perms mins — map-side
+    combined, engine-independent (md5)."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"mh{i}")
+        for i in range(num_perms)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame, num_perms: int = 16, num_bands: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band table: (id, band_idx, band_hash) — docs agreeing on all rows
+    of any band share a bucket."""
+    rows_per_band = num_perms // num_bands
+    bands = []
+    for b in range(num_bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(F.lit(b).alias("band_idx"), F.md5(F.concat_ws("|", *cols).cast("binary")).alias("band_hash"))
+        )
+    return signatures.select(
+        id_col, F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx").alias("band_idx"), F.col("band.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing any LSH band bucket.
+    Equi-join on (band_idx, band_hash): shuffle scales with bucket
+    sizes, not corpus²."""
+    a = bands.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
+    b = bands.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
+    return (
+        a.join(b, on=["band_idx", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    num_perms: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup candidate pipeline → (a, b) pairs."""
+    sh = char_shingles(df, text_col, id_col, k)
+    sig = minhash_signatures(sh, num_perms, id_col)
+    bands = lsh_bands(sig, num_perms, num_bands, id_col)
+    return lsh_candidate_pairs(bands, id_col)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
+    |A∩B| / |A∪B| ≥ threshold → (a, b, jaccard rounded to 6).
+
+    The shingle self-join is the candidate generator (equi-join on the
+    shingle value); at scale pair counts are bounded by shingle bucket
+    sizes. For adversarially common shingles, cap bucket width upstream
+    (stopword-shingle removal) — not needed for this corpus."""
+    sh = char_shingles(df, text_col, id_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("a"), "shingle")
+    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "a")
+        .join(nb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("a", "b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash per document over whitespace tokens.
+
+    Token hash = first 8 hex chars of md5 (32 bits, engine-independent).
+    Bit j of the simhash is set iff sum over tokens of (2·bit_j − 1) > 0.
+    Returns (id, simhash:long). Explode tokens × bits → two hash aggs —
+    all vectorized, map-side combined."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).select(
+        id_col,
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    per_bit = tokens.select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("h"),
+    ).select(
+        id_col,
+        "j",
+        # shiftright/shiftleft builders take only literal shift amounts;
+        # the SQL functions accept columns
+        (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1).alias("s"),
+    )
+    bit_sums = per_bit.groupBy(id_col, "j").agg(F.sum("s").alias("v"))
+    return bit_sums.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(F.lit(0))
+        ).cast("long").alias("simhash")
+    )

@@ -37,6 +37,15 @@ class SchemaDiff:
         return bool(self.added)
 
 
+def _compatible(a: T.DataType, b: T.DataType) -> bool:
+    if a == b:
+        return True
+    # timestamp (ltz) vs timestamp_ntz: value-identical under a UTC
+    # session; the merge path casts to the target type anyway
+    ts_types = (T.TimestampType(), T.TimestampNTZType())
+    return a in ts_types and b in ts_types
+
+
 def diff_schemas(
     target: T.StructType,
     batch: T.StructType,
@@ -50,7 +59,7 @@ def diff_schemas(
         existing = target_by_name.get(f.name)
         if existing is None:
             added.append(T.StructField(f.name, f.dataType, nullable=True))
-        elif existing.dataType != f.dataType:
+        elif not _compatible(existing.dataType, f.dataType):
             raise SchemaEvolutionError(
                 f"type change for column {f.name!r}: "
                 f"{existing.dataType.simpleString()} -> {f.dataType.simpleString()} "

@@ -63,7 +63,10 @@ def synth_transcripts_changelog(
     """
     df = spark.range(0, num_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
     sid = F.lit(seed)
-    eid = F.col("id")
+    # hash on the version-offset id so a feed generated in epochs
+    # (version_offset=N) is a *continuation*, not a replay of the same
+    # key/op sequence
+    eid = F.col("id") + F.lit(version_offset)
 
     is_hot = _hash01(sid, F.lit("hot"), eid) < F.lit(hot_fraction)
     conv_num = F.when(
@@ -97,8 +100,8 @@ def synth_transcripts_changelog(
     )
     ts = F.timestamp_seconds(F.lit(1_700_000_000) + eid)
 
-    out = df.select(
-        (eid + F.lit(1 + version_offset)).alias(VERSION_COL),
+    cols = [
+        (eid + F.lit(1)).alias(VERSION_COL),  # eid already carries version_offset
         op.alias(OPERATION_COL),
         F.concat(F.lit("conv-"), conv_num.cast("string")).alias("conv_id"),
         turn.alias("turn_idx"),
@@ -107,14 +110,18 @@ def synth_transcripts_changelog(
         F.when(op != "D", role).alias("role"),
         F.when(op != "D", text).alias("text"),
         F.when(op != "D", ts).alias("ts"),
-    )
+    ]
     if with_tool:
-        tool = F.when(
-            (role == "tool") & (op != "D"),
-            F.concat(F.lit("tool-"), F.pmod(F.xxhash64(sid, F.lit("tl"), eid), F.lit(8)).cast("string")),
+        cols.append(
+            F.when(
+                (role == "tool") & (op != "D"),
+                F.concat(
+                    F.lit("tool-"),
+                    F.pmod(F.xxhash64(sid, F.lit("tl"), eid), F.lit(8)).cast("string"),
+                ),
+            ).alias("tool")
         )
-        out = out.withColumn("tool", tool)
-    return out
+    return df.select(*cols)
 
 
 def events_as_changelog(events: DataFrame) -> DataFrame:
