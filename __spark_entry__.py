@@ -21,9 +21,10 @@ from arcane_stream_sqlserver_change_tracking_spark import entry_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full CDC engine replay (bootstrap → micro-batches →
-    merge commits → read replicated state) on sf0.001."""
-    return entry_queries.q_cdc_engine_e2e(spark, "/root/testdata/sf0.001")
+    """Flagship: full CDC engine replay of the transcripts changelog
+    (bootstrap → micro-batches with pandas-UDF normalization → merge
+    commits → read replicated state) on sf0.001."""
+    return entry_queries.q_transcripts_cdc_e2e(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

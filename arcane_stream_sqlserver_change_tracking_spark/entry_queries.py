@@ -53,7 +53,7 @@ from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
 from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk
 from .plans.lake import LakeTable
-from .sources.changelog import events_as_changelog
+from .sources.changelog import events_as_changelog, transcripts_from_events
 from .streaming.runner import CdcEngine, EngineOptions
 
 
@@ -276,6 +276,74 @@ ranked AS (
   FROM log)
 SELECT user_id, sys_change_version AS last_version, event_type, value, props
 FROM ranked WHERE rn = 1 AND sys_change_operation <> 'D'
+"""
+
+
+def q_transcripts_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship (BASELINE.json input_hint shape): replay a
+    transcripts changelog keyed by (conv_id, turn_idx) through the real
+    engine — bootstrap, micro-batched dedup/merge/watermark commits,
+    Arrow pandas-UDF text normalization — and read back the replicated
+    Iceberg-style table state. Oracle = one-shot SQL replay with the
+    same whitespace normalization."""
+    payload = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    root = tempfile.mkdtemp(prefix="cdc_transcripts_")
+    table = LakeTable(spark, os.path.join(root, "t"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(
+            key_columns=("conv_id", "turn_idx"),
+            num_buckets=16,
+            max_events_per_batch=2500,
+            normalize_text_columns=("text",),
+            sort_within=("conv_id", "turn_idx"),
+        ),
+    )
+    eng.bootstrap(payload)
+    eng.run_incremental(transcripts_from_events(_t(spark, sf_dir, "events")))
+    return eng.current_state().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.col(VERSION_COL).alias("last_version"),
+    )
+
+
+SQL_TRANSCRIPTS_E2E = """
+WITH log AS (
+  SELECT event_id + 1 AS v,
+         CASE event_type WHEN 'error' THEN 'D'
+                         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+         'conv-' || user_id::varchar AS conv_id,
+         CAST(event_id % 40 AS int) AS turn_idx,
+         CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                           WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         '  ' || event_type || '  turn' || chr(9) || (event_id % 40)::varchar
+             || '  ' || props || ' ' AS raw_text,
+         CASE WHEN event_id % 4 = 3
+              THEN 'tool-' || (event_id % 8)::varchar END AS tool
+  FROM events),
+ranked AS (
+  SELECT v, op, conv_id, turn_idx,
+         CASE WHEN op <> 'D' THEN role END AS role,
+         CASE WHEN op <> 'D' THEN trim(regexp_replace(raw_text, '\\s+', ' ', 'g')) END AS text,
+         CASE WHEN op <> 'D' THEN tool END AS tool,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn
+  FROM log)
+SELECT conv_id, turn_idx, role, text, tool, v AS last_version
+FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
@@ -536,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p1_field_filtering": q_p1_field_filtering,
         "a1_batch_stats": q_a1_batch_stats,
         "cdc_engine_e2e": q_cdc_engine_e2e,
+        "transcripts_cdc_e2e": q_transcripts_cdc_e2e,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -560,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "p1_field_filtering": SQL_P1,
         "a1_batch_stats": SQL_A1,
         "cdc_engine_e2e": SQL_E2E,
+        "transcripts_cdc_e2e": SQL_TRANSCRIPTS_E2E,
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,

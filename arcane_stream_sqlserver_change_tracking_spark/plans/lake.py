@@ -240,23 +240,52 @@ class LakeTable:
         snapshot_id: int,
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
+        shuffle: bool = True,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must match the table schema) into per-bucket
         parquet files under ``.staging``, then move them into ``data/``.
         Returns manifest file entries. Nothing is visible until commit.
 
-        Files are hash-partitioned by bucket (one shuffle), optionally
-        sorted within partitions (reference ``sortedBy`` write order,
-        docs/crd.md:117-119) and capped at ``max_rows_per_file`` rows
-        (reference staging ``maxRowsPerFile``, CRD:72-75).
+        ``shuffle=True``: hash-repartition by bucket first (one shuffle)
+        — for new/incoming rows whose partitioning is unrelated to the
+        bucket layout. ``shuffle=False``: rows that came FROM per-bucket
+        table files are already bucket-clustered, so we only sort within
+        partitions and let the partitioned writer fan out — rewriting a
+        bucket during MERGE then moves ZERO table data across the
+        network (the difference between shuffling MBs and TBs per batch
+        at 100 TB). Optionally sorted within partitions (reference
+        ``sortedBy`` write order, docs/crd.md:117-119) and capped at
+        ``max_rows_per_file`` rows (reference staging ``maxRowsPerFile``,
+        CRD:72-75).
         """
-        nb = self.num_buckets
-        out = (
-            df.withColumn(_BUCKET, bucket_expr(MERGE_KEY_COL, nb))
-            .repartition(F.col(_BUCKET))
+        return self._write_parts(
+            [(df, not shuffle)], snapshot_id, max_rows_per_file, sort_within
         )
-        if sort_within:
-            out = out.sortWithinPartitions(_BUCKET, *sort_within)
+
+    def _write_parts(
+        self,
+        parts: list[tuple[DataFrame, bool]],
+        snapshot_id: int,
+        max_rows_per_file: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> list[dict[str, Any]]:
+        """One write job for any mix of aligned/unaligned parts: each
+        unaligned part is bucket-repartitioned, aligned parts pass
+        through, and the union (a narrow op — partitions concatenate)
+        feeds a single partitioned write."""
+        nb = self.num_buckets
+        shaped = []
+        for df, aligned in parts:
+            d = df.withColumn(_BUCKET, bucket_expr(MERGE_KEY_COL, nb))
+            if not aligned:
+                d = d.repartition(F.col(_BUCKET))
+            shaped.append(d)
+        out = shaped[0]
+        for d in shaped[1:]:
+            out = out.unionByName(d)
+        # cluster by bucket inside each task so the partitioned writer
+        # keeps one open file at a time
+        out = out.sortWithinPartitions(_BUCKET, *(sort_within or []))
         stage = os.path.join(self.staging_dir, f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
@@ -318,18 +347,25 @@ class LakeTable:
 
     def replace_buckets(
         self,
-        df: DataFrame,
-        buckets: list[int],
+        df: DataFrame | None = None,
+        buckets: list[int] | None = None,
         watermark: dict[str, Any] | None = None,
         lineage: list[dict[str, Any]] | None = None,
         schema: T.StructType | None = None,
         properties_update: dict[str, Any] | None = None,
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
+        parts: list[tuple[DataFrame, bool]] | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write replacement of the given buckets:
-        keep every file outside ``buckets``, swap in ``df``'s files for
-        the touched ones. This is the physical form of MERGE."""
+        keep every file outside ``buckets``, swap in the new files for
+        the touched ones. This is the physical form of MERGE.
+
+        Content comes either from ``df`` (shuffled by bucket) or from
+        ``parts`` — a list of ``(dataframe, aligned)`` pairs written
+        into the same snapshot; ``aligned=True`` parts (rows re-read
+        from this table's own per-bucket files, e.g. the retained side
+        of a MERGE) skip the bucket shuffle entirely."""
         snap = self._require()
         new_id = snap.snapshot_id + 1
         props = dict(snap.properties)
@@ -347,8 +383,11 @@ class LakeTable:
             new_schema = schema
         if properties_update:
             props.update(properties_update)
-        entries = self._write_data_files(df, new_id, max_rows_per_file, sort_within)
-        touched = set(buckets)
+        entries = self._write_parts(
+            parts if parts is not None else [(df, False)],
+            new_id, max_rows_per_file, sort_within,
+        )
+        touched = set(buckets or [])
         kept = [f for f in snap.files if f["bucket"] not in touched]
         new = Snapshot(
             snapshot_id=new_id, parent_id=snap.snapshot_id,

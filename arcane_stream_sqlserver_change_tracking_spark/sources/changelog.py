@@ -124,6 +124,51 @@ def synth_transcripts_changelog(
     return df.select(*cols)
 
 
+def transcripts_from_events(events: DataFrame, num_turns: int = 40) -> DataFrame:
+    """Derive a deterministic *transcripts* changelog (BASELINE.json
+    input_hint shape: conv_id, turn_idx, role, text, tool, ts) from the
+    driver testdata ``events`` table, using only expressions DuckDB can
+    reproduce exactly — this is what lets the flagship transcripts CDC
+    replay have a cross-engine oracle.
+
+    Mapping: key = (conv_id='conv-'||user_id, turn_idx=event_id%num_turns),
+    version = event_id+1 (strictly positive, above the epoch watermark),
+    op: error→D, signup→I, else U. The raw ``text`` deliberately carries
+    messy whitespace (double spaces, tabs) so the Arrow pandas-UDF
+    normalization pass (functions/text.py) is observable in the final
+    state. D rows carry NULL payload (CHANGETABLE left-join semantics).
+    """
+    op = (
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .when(F.col("event_type") == "signup", F.lit("I"))
+        .otherwise(F.lit("U"))
+    )
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("system"), F.lit("tool")),
+        (F.pmod(F.col("event_id"), F.lit(4)) + 1).cast("int"),
+    )
+    raw_text = F.concat(
+        F.lit("  "), F.col("event_type"),
+        F.lit("  turn\t"), F.pmod(F.col("event_id"), F.lit(num_turns)).cast("string"),
+        F.lit("  "), F.col("props"), F.lit(" "),
+    )
+    tool = F.when(
+        role == "tool",
+        F.concat(F.lit("tool-"), F.pmod(F.col("event_id"), F.lit(8)).cast("string")),
+    )
+    not_del = op != "D"
+    return events.select(
+        (F.col("event_id") + F.lit(1)).alias(VERSION_COL),
+        op.alias(OPERATION_COL),
+        F.concat(F.lit("conv-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(num_turns)).cast("int").alias("turn_idx"),
+        F.when(not_del, role).alias("role"),
+        F.when(not_del, raw_text).alias("text"),
+        F.when(not_del, tool).alias("tool"),
+        F.when(not_del, F.col("ts")).alias("ts"),
+    )
+
+
 def events_as_changelog(events: DataFrame) -> DataFrame:
     """Adapt the driver testdata ``events`` table to the changelog shape."""
     return events.select(

@@ -45,7 +45,7 @@ from ..functions.keys import (
     normalize_column_names,
     with_merge_key,
 )
-from ..functions.text import normalize_text
+from ..functions.text import normalize_text, normalize_text_expr
 from ..operators.dedup import latest_change_per_key
 from ..operators.fields import FieldFilter
 from ..operators.merge import plan_merge
@@ -68,9 +68,11 @@ class EngineOptions:
     key_columns: tuple[str, ...] = ("conv_id", "turn_idx")
     num_buckets: int = 32
     max_events_per_batch: int = 500_000          # rowsPerGroup analog (quickstart.md:66)
-    dedup_strategy: str = "salted"
+    dedup_strategy: str = "agg"   # see operators/dedup.py — partial agg
+                                  # gives the salted bound with 1 shuffle
     num_salts: int = 16
     normalize_text_columns: tuple[str, ...] = ()  # e.g. ("text",)
+    normalize_impl: str = "expr"  # "expr" (JVM codegen) | "pandas" (Arrow UDF, adds NFC)
     field_filter: FieldFilter = field(default_factory=FieldFilter)
     broadcast_threshold_rows: int = 2_000_000     # batch keys broadcast below this
     max_rows_per_file: int = 1_000_000            # maxRowsPerFile analog (CRD:72-75)
@@ -94,6 +96,8 @@ class BatchResult:
     touched_buckets: int
     apply_seconds: float
     skipped: bool = False
+    prepare_seconds: float = 0.0   # dedup/normalize + bucket stats job
+    commit_seconds: float = 0.0    # merge write + atomic commit
 
 
 class CdcEngine:
@@ -132,20 +136,26 @@ class CdcEngine:
     # per-batch apply
     # ------------------------------------------------------------------
     def _prepare(self, batch: DataFrame) -> DataFrame:
-        """normalize names -> field filter -> text normalize -> merge key
-        -> salted dedup -> bucket id. All lazily declared; one cached
-        result per batch."""
+        """normalize names -> field filter -> merge key -> salted dedup
+        -> text normalize -> bucket id. All lazily declared; one cached
+        result per batch.
+
+        Text normalization runs AFTER dedup on purpose: it is per-row
+        deterministic, so normalizing only the surviving row per key is
+        semantically identical and the Arrow batches (and the dedup
+        shuffles before them) carry ~dup-factor× fewer rows."""
         df = normalize_column_names(batch)
         df = self.opts.field_filter.apply(df)
-        for c in self.opts.normalize_text_columns:
-            if c in df.columns:
-                df = df.withColumn(c, normalize_text(F.col(c)))
         df = with_merge_key(df, list(self.opts.key_columns))
         df = latest_change_per_key(
             df,
             strategy=self.opts.dedup_strategy,
             num_salts=self.opts.num_salts,
         )
+        norm = normalize_text if self.opts.normalize_impl == "pandas" else normalize_text_expr
+        for c in self.opts.normalize_text_columns:
+            if c in df.columns:
+                df = df.withColumn(c, norm(F.col(c)))
         return df.withColumn(_BUCKET, bucket_expr(MERGE_KEY_COL, self.table.num_buckets))
 
     def apply_batch(self, batch: DataFrame, batch_seq: int | None = None) -> BatchResult:
@@ -181,11 +191,16 @@ class CdcEngine:
             existing = self.table.read(buckets=touched)
             broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
             plan = plan_merge(existing, deduped, target_cols, broadcast_keys=broadcast)
-            new_state = plan.new_state
-            # enforce exact evolved types (lit(None) columns are NullType)
-            new_state = new_state.select(
-                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
-            )
+            # enforce exact evolved types (lit(None) columns are NullType);
+            # keep retained and upserts separate: retained rows come from
+            # this table's own per-bucket files, so their write skips the
+            # bucket shuffle (plans/lake.py _write_data_files aligned path)
+            def _cast(df: DataFrame) -> DataFrame:
+                return df.select(
+                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+                )
+            retained_cast = _cast(plan.retained)
+            upserts_cast = _cast(plan.upserts)
 
             # per-partition lineage (FIXTURES.md §3): bucket = the stable
             # partition identity; latency measured up to commit start
@@ -201,7 +216,7 @@ class CdcEngine:
             ]
             def do_commit():
                 return self.table.replace_buckets(
-                    new_state,
+                    parts=[(retained_cast, True), (upserts_cast, False)],
                     buckets=touched,
                     schema=evolved if diff.changed else None,
                     watermark={
@@ -214,11 +229,14 @@ class CdcEngine:
                     sort_within=list(self.opts.sort_within) or None,
                 )
 
+            t_commit = time.monotonic()
             self._with_retry(do_commit)
             dt = time.monotonic() - t0
             result = BatchResult(
                 batch_seq=seq, rows_in=rows_deduped, rows_deduped=rows_deduped,
                 max_version=max_version, touched_buckets=len(touched), apply_seconds=dt,
+                prepare_seconds=round(pre_commit_ms / 1000.0, 3),
+                commit_seconds=round(time.monotonic() - t_commit, 3),
             )
             self.metrics.append(result)
             return result

@@ -1,0 +1,155 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and
+prints ONE JSON line::
+
+    {"metric": ..., "value": N, "unit": "events/sec",
+     "queries": {...per-query sec...}, "sf": ..., "total_sec": ...}
+
+The headline ``value`` is the BASELINE.json metric — change-events/sec
+applied end-to-end through the CDC engine (synthetic transcripts
+changelog → dedup → merge → atomic commit) — measured on a
+``--events``-sized replay in the same session.
+
+``--replay-only --cpus N`` runs just the replay at a given parallelism
+and prints its JSON; scripts/scaling_bench.py uses this to evidence the
+N → 4N scaling-efficiency criterion (local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import types as T  # noqa: E402
+
+from arcane_stream_sqlserver_change_tracking_spark import entry_queries  # noqa: E402
+from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable  # noqa: E402
+from arcane_stream_sqlserver_change_tracking_spark.session import build_session  # noqa: E402
+from arcane_stream_sqlserver_change_tracking_spark.sources.changelog import (  # noqa: E402
+    synth_transcripts_changelog,
+)
+from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (  # noqa: E402
+    CdcEngine,
+    EngineOptions,
+)
+
+#: headline queries benchmarked per round (bounded subset: the all-pairs
+#: ops — ngram_jaccard, minhash pair-join — are correctness-gated at
+#: sf0.01 but quadratic on sf0.1's corpus, so they stay out of the
+#: timing loop)
+BENCH_QUERIES = [
+    "transcripts_cdc_e2e",
+    "cdc_engine_e2e",
+    "w1_net_change_dedup",
+    "cdc_replay_final_state",
+    "j2_merge_as_join",
+    "exact_dedup",
+    "simhash",
+    "embedding_topk_cosine",
+    "ivf_topk_ann",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+]
+
+TRANSCRIPT_PAYLOAD = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+
+def run_replay(spark, num_events: int, num_buckets: int = 32,
+               batches: int = 4, num_convs: int = 200_000) -> dict:
+    """Replay a deterministic synthetic transcripts changelog through
+    the full engine (dedup → merge → commit per micro-batch); returns
+    throughput. The changelog is generated, never materialized — the
+    measured work is the engine's."""
+    root = tempfile.mkdtemp(prefix="bench_replay_")
+    try:
+        table = LakeTable(spark, os.path.join(root, "t"))
+        eng = CdcEngine(
+            spark,
+            table,
+            EngineOptions(
+                key_columns=("conv_id", "turn_idx"),
+                num_buckets=num_buckets,
+                max_events_per_batch=max(1, num_events // batches),
+                normalize_text_columns=("text",),
+            ),
+        )
+        eng.bootstrap(TRANSCRIPT_PAYLOAD)
+        log = synth_transcripts_changelog(
+            spark, num_events, num_convs=num_convs, hot_conv_count=4,
+            hot_fraction=0.2, payload_repeat=4,
+        )
+        t0 = time.monotonic()
+        results = eng.run_incremental(log, maintenance=False)
+        dt = time.monotonic() - t0
+        return {
+            "events": num_events,
+            "seconds": round(dt, 3),
+            "events_per_sec": round(num_events / dt, 1),
+            "batches": len(results),
+            "rows_final": sum(r.rows_deduped for r in results),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replay-only", action="store_true")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")))
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    spark = build_session(cpus=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.replay_only:
+        out = run_replay(spark, args.events)
+        out["cpus"] = args.cpus
+        print(json.dumps(out))
+        spark.stop()
+        return
+
+    qs = entry_queries.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        df = qs[name](spark, args.sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    replay = run_replay(spark, args.events)
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "change-events/sec applied (end-to-end CDC replay into lake table)",
+        "value": replay["events_per_sec"],
+        "unit": "events/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "total_sec": round(sum(timings.values()) + replay["seconds"], 3),
+        "replay": replay,
+        "cpus": args.cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,22 @@ def test_field_filter_rules(spark):
     exc = FieldFilter("exclude", ("extra", "sys_change_version")).apply(df)
     # essential fields can never be dropped (CRD:413-421)
     assert set(exc.columns) == {"Id", "Name", "sys_change_version", "sys_change_operation", "arcane_merge_key"}
+
+
+def test_normalize_expr_matches_pandas_on_ascii(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.text import (
+        normalize_text_expr,
+    )
+
+    rows = [
+        ("  a \t b\n\nc  ",),
+        ("x\x00y\x07z",),
+        ("already clean",),
+        ("\t\t  \t",),
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    via_expr = [r["t"] for r in df.select(normalize_text_expr("text").alias("t")).collect()]
+    via_udf = [r["t"] for r in df.select(normalize_text(F.col("text")).alias("t")).collect()]
+    via_pd = normalize_text_pandas(pd.Series([r[0] for r in rows])).tolist()
+    assert via_expr == via_udf == via_pd
