@@ -1,0 +1,124 @@
+"""CLI entry point — the ``spark-submit`` surface.
+
+Production launch (multi-executor cluster)::
+
+    spark-submit --master <cluster> \\
+        --py-files arcane_stream_sqlserver_change_tracking_spark.zip \\
+        -m arcane_stream_sqlserver_change_tracking_spark \\
+        --mode stream --table /lake/transcripts --landing /lake/changelog
+
+Local replay of a synthetic feed::
+
+    python -m arcane_stream_sqlserver_change_tracking_spark \\
+        --mode replay --table /tmp/t --events 1000000 --bootstrap
+
+Modes (reference graph modes, SURVEY.md §3):
+
+* ``replay``   — drain a changelog (synthetic or parquet path) in
+  micro-batches until caught up, then exit (batch-replay twin of the
+  poll loop).
+* ``stream``   — continuous Structured-Streaming tail of a landing
+  directory of parquet change files (``--trigger-seconds`` cadence,
+  checkpointed, exactly-once).
+* ``backfill`` — full-reload snapshot apply (``--behavior
+  overwrite|merge``), then exit (STREAMCONTEXT__BACKFILL analog).
+* ``maintain`` — one maintenance pass (compact / expire / orphans).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+
+
+def _payload_schema() -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("turn_idx", T.IntegerType()),
+            T.StructField("role", T.StringType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("tool", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+
+
+def main(argv: list[str] | None = None) -> int:
+    from .plans.lake import LakeTable
+    from .sources.changelog import synth_transcripts_changelog
+    from .streaming.runner import CdcEngine, EngineOptions
+    from .streaming.stream import changelog_file_stream, run_stream
+
+    ap = argparse.ArgumentParser(prog="arcane_stream_sqlserver_change_tracking_spark")
+    ap.add_argument("--mode", choices=["replay", "stream", "backfill", "maintain"],
+                    required=True)
+    ap.add_argument("--table", required=True, help="lake table root path")
+    ap.add_argument("--changelog", help="parquet path of the changelog (replay/backfill)")
+    ap.add_argument("--landing", help="landing dir tailed in stream mode")
+    ap.add_argument("--checkpoint", help="stream checkpoint dir (default <table>/_stream_ckpt)")
+    ap.add_argument("--events", type=int, default=0,
+                    help="replay a synthetic feed of this many events instead of --changelog")
+    ap.add_argument("--bootstrap", action="store_true",
+                    help="create the table + epoch watermark if absent")
+    ap.add_argument("--num-buckets", type=int, default=32)
+    ap.add_argument("--max-events-per-batch", type=int, default=500_000)
+    ap.add_argument("--behavior", choices=["overwrite", "merge"], default="overwrite")
+    ap.add_argument("--trigger-seconds", type=int, default=15,
+                    help="changeCaptureInterval analog (stream mode)")
+    ap.add_argument("--available-now", action="store_true",
+                    help="stream mode: drain available input then stop")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("arcane-ct-spark").getOrCreate()
+    table = LakeTable(spark, args.table)
+    eng = CdcEngine(
+        spark, table,
+        EngineOptions(
+            num_buckets=args.num_buckets,
+            max_events_per_batch=args.max_events_per_batch,
+            normalize_text_columns=("text",),
+        ),
+    )
+    if args.bootstrap and not table.exists():
+        eng.bootstrap(_payload_schema())
+
+    def _changelog():
+        if args.events:
+            return synth_transcripts_changelog(spark, args.events, with_tool=True)
+        if not args.changelog:
+            ap.error("--changelog or --events required")
+        return spark.read.parquet(args.changelog)
+
+    if args.mode == "replay":
+        results = eng.run_incremental(_changelog())
+        for r in results:
+            print(json.dumps(vars(r)))
+    elif args.mode == "backfill":
+        eng.backfill(_changelog(), behavior=args.behavior)
+        print(json.dumps({"backfill": args.behavior,
+                          "watermark": table.watermark()}))
+    elif args.mode == "stream":
+        if not args.landing:
+            ap.error("--landing required in stream mode")
+        schema = spark.read.parquet(args.landing).schema
+        q = run_stream(
+            eng,
+            changelog_file_stream(spark, args.landing, schema),
+            args.checkpoint or f"{args.table}/_stream_ckpt",
+            processing_time=None if args.available_now else f"{args.trigger_seconds} seconds",
+            available_now=args.available_now,
+        )
+        q.awaitTermination()
+    elif args.mode == "maintain":
+        eng.run_maintenance()
+        print(json.dumps(table.analyze()))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -51,7 +51,13 @@ from .operators.corpus import (
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
-from .operators.similarity import brute_force_topk, ivf_assign, ivf_topk
+from .operators.multimodal import attach_binary_payload, decode_media, sample_frames
+from .operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_assign,
+    ivf_topk,
+)
 from .plans.lake import LakeTable
 from .sources.changelog import events_as_changelog, transcripts_from_events
 from .streaming.runner import CdcEngine, EngineOptions
@@ -498,6 +504,62 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 20, k=5, nprobe=3)
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+SQL_NEAR_DUP = f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         round(({_DOT.format(a='x.vec', b='y.vec')})
+               / (({_NORM.format(a='x.vec')}) * ({_NORM.format(a='y.vec')})), 9) AS sim
+  FROM v x JOIN v y ON x.vec_id < y.vec_id)
+SELECT a, b, sim FROM pairs WHERE sim >= 0.3
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal (binary payload + mapInPandas decode stubs)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload -> mapInPandas fake-decode -> typed metadata."""
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return decode_media(d)
+
+
+#: documents text is pure ASCII in the driver corpus (octet_length ==
+#: length for every row), so varchar sha256/substr equal the byte-wise
+#: ops the Spark side performs on the utf-8 blob
+SQL_MM_DECODE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS bigint) AS n_bytes,
+       sha256(text) AS content_hash,
+       CAST(octet_length(encode(text)) % 1920 + 1 AS int) AS width,
+       CAST(octet_length(encode(text)) * 7 % 1080 + 1 AS int) AS height
+FROM documents
+"""
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-to-many frame-sampling stub over binary payloads."""
+    d = attach_binary_payload(_t(spark, sf_dir, "documents"))
+    return sample_frames(d, every_n_bytes=64)
+
+
+SQL_MM_FRAMES = """
+WITH offs AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+             CAST(ceil(length(text) / 64.0) AS int) - 1)) AS frame_idx
+  FROM documents)
+SELECT doc_id, CAST(frame_idx AS int) AS frame_idx,
+       sha256(substr(text, frame_idx * 64 + 1, 64)) AS frame_hash
+FROM offs
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -612,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk_ann": q_ivf_topk,          # rows-only (no oracle)
+        "embedding_near_dup": q_embedding_near_dup,
+        "multimodal_decode": q_multimodal_decode,
+        "multimodal_frames": q_multimodal_frames,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -636,6 +701,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "embedding_topk_cosine": SQL_TOPK,
         "ivf_assign": SQL_IVF_ASSIGN,
+        "embedding_near_dup": SQL_NEAR_DUP,
+        "multimodal_decode": SQL_MM_DECODE,
+        "multimodal_frames": SQL_MM_FRAMES,
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),

@@ -75,6 +75,32 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup-family member):
+    all (a, b), a < b, with cosine >= threshold. Exact — the LSH/IVF
+    bucketing path (``ivf_assign`` + within-bucket pairs) is the 100 TB
+    variant; this is its oracle-verifiable ground truth."""
+    a = with_double_vec(embeddings, vec_col).select(
+        F.col(id_col).alias("a"), F.col("vec").alias("avec")
+    )
+    b = with_double_vec(embeddings, vec_col).select(
+        F.col(id_col).alias("b"), F.col("vec").alias("bvec")
+    )
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select(
+            "a", "b",
+            F.round(cosine_sim(F.col("avec"), F.col("bvec")), 9).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroid_stride: int = 50,

@@ -35,13 +35,19 @@ def version_chunks(
     """Split the pending version range into half-open chunks
     ``(lo, hi]`` of ≈ ``max_events_per_batch`` rows each.
 
-    One aggregation job: count + min + max + the interior quantiles of
-    ``sys_change_version``. Zero data collected beyond the boundary list.
+    ONE aggregation job: count + min + max + a fixed grid of interior
+    quantiles of ``sys_change_version`` (the grid is sliced down to the
+    k-1 boundaries actually needed, avoiding a second scan). Zero data
+    collected beyond the boundary list.
     """
+    grid = 64  # quantile grid resolution; supports up to 64 chunks/scan
     stats = pending.agg(
         F.count("*").alias("n"),
         F.min(VERSION_COL).alias("lo"),
         F.max(VERSION_COL).alias("hi"),
+        F.percentile_approx(
+            VERSION_COL, [i / grid for i in range(1, grid)], accuracy
+        ).alias("q"),
     ).collect()[0]
     n = stats["n"]
     if n == 0:
@@ -49,10 +55,14 @@ def version_chunks(
     if n <= max_events_per_batch:
         return [(int(stats["lo"]) - 1, int(stats["hi"]))]
     k = int(-(-n // max_events_per_batch))  # ceil
-    probs = [i / k for i in range(1, k)]
-    qs = pending.agg(
-        F.percentile_approx(VERSION_COL, probs, accuracy).alias("q")
-    ).collect()[0]["q"]
+    if k <= grid:
+        # pick the grid quantiles closest to the k-1 ideal split points
+        qs = [stats["q"][round(i * grid / k) - 1] for i in range(1, k)]
+    else:  # >64 chunks: fall back to an exact-resolution second pass
+        probs = [i / k for i in range(1, k)]
+        qs = pending.agg(
+            F.percentile_approx(VERSION_COL, probs, accuracy).alias("q")
+        ).collect()[0]["q"]
     bounds = sorted(set(int(q) for q in qs))
     lo = int(stats["lo"]) - 1
     hi = int(stats["hi"])

@@ -1,0 +1,90 @@
+"""Structured-Streaming mode — the continuous twin of
+``CdcEngine.run_incremental`` (reference T1/T2/T3/S2: the polling loop
+``MsSqlStreamingDataProvider`` + ``changeCaptureInterval`` trigger +
+lifetime services, main.scala:79,91-92,78; SURVEY.md §2.10).
+
+Spark-first mapping:
+
+* poll scheduler (interval ± jitter)  -> ``trigger(processingTime=...)``
+  (jitter dropped deliberately — it only matters when many streams share
+  one SQL Server; Spark's trigger is per-query already)
+* one polled batch                    -> one micro-batch in
+  ``foreachBatch`` (the natural rowsPerGroup boundary, A1)
+* throughput shaper (T2)              -> ``maxFilesPerTrigger`` /
+  source rate options on the stream reader
+* graceful shutdown (T3)              -> ``query.stop()`` /
+  ``trigger(availableNow=True)`` bounded drain for tests
+* exactly-once                        -> ``apply_batch``'s
+  watermark-gated idempotence: Structured Streaming may REPLAY a
+  micro-batch after crash/restart (foreachBatch is at-least-once); the
+  engine skips any batch whose max version <= committed watermark, so
+  the lake table state is exactly-once regardless — the standard
+  idempotent-sink pattern, strengthened because our watermark lives in
+  the same atomic snapshot commit as the data.
+
+The changelog stream itself can be any streaming DataFrame with the
+changelog shape (payload ∪ sys_change_version/sys_change_operation):
+a file-source directory of parquet change files (used in tests — the
+shape a binlog/WAL shipper or CHANGETABLE poller would land), Kafka,
+or rate-source synthetics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from .runner import CdcEngine
+
+
+def changelog_file_stream(
+    spark: SparkSession,
+    directory: str,
+    schema: T.StructType,
+    max_files_per_trigger: int | None = 1,
+) -> DataFrame:
+    """A changelog stream tailing a directory of parquet change files —
+    the lake-side equivalent of tailing CHANGETABLE: each landed file is
+    a chunk of change rows. ``maxFilesPerTrigger`` is the throughput
+    shaper (reference T2 ``advisedChunkSize``/rate options)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(directory)
+
+
+def run_stream(
+    engine: CdcEngine,
+    changelog_stream: DataFrame,
+    checkpoint_dir: str,
+    processing_time: str | None = None,
+    available_now: bool = False,
+    query_name: str = "arcane-cdc-stream",
+) -> StreamingQuery:
+    """Start the continuous pipeline: every micro-batch runs the full
+    per-batch apply (dedup -> normalize -> schema-evolve -> merge ->
+    atomic watermark commit).
+
+    ``available_now=True`` drains all currently-available input then
+    stops (the reference test-mode ``TimeLimitLifetimeService`` analog);
+    ``processing_time`` gives the polling cadence otherwise
+    (``changeCaptureInterval`` analog).
+    """
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # foreachBatch may re-deliver a batch after restart; apply_batch
+        # is idempotent (version <= watermark => skipped)
+        engine.apply_batch(batch_df, batch_seq=None)
+
+    writer = (
+        changelog_stream.writeStream.foreachBatch(_apply)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time is not None:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

@@ -73,12 +73,15 @@ TRANSCRIPT_PAYLOAD = T.StructType(
 
 
 def run_replay(spark, num_events: int, num_buckets: int = 32,
-               batches: int = 4, num_convs: int = 200_000) -> dict:
+               batches: int = 4, num_convs: int = 200_000,
+               num_partitions: int = 32) -> dict:
     """Replay a deterministic synthetic transcripts changelog through
     the full engine (dedup → merge → commit per micro-batch); returns
     throughput. The changelog is generated, never materialized — the
-    measured work is the engine's."""
-    root = tempfile.mkdtemp(prefix="bench_replay_")
+    measured work is the engine's. The lake table lives on tmpfs when
+    available (single-disk sandbox ≠ cluster object-store bandwidth)."""
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="bench_replay_", dir=base)
     try:
         table = LakeTable(spark, os.path.join(root, "t"))
         eng = CdcEngine(
@@ -92,9 +95,13 @@ def run_replay(spark, num_events: int, num_buckets: int = 32,
             ),
         )
         eng.bootstrap(TRANSCRIPT_PAYLOAD)
+        # fixed split count: in a real cluster the input's partitioning
+        # is a property of the DATA, not of how many executors read it —
+        # letting partition count track cores would hand the small-N run
+        # artificially large (= more efficient) partitions
         log = synth_transcripts_changelog(
             spark, num_events, num_convs=num_convs, hot_conv_count=4,
-            hot_fraction=0.2, payload_repeat=4,
+            hot_fraction=0.2, payload_repeat=4, num_partitions=num_partitions,
         )
         t0 = time.monotonic()
         results = eng.run_incremental(log, maintenance=False)
@@ -115,14 +122,21 @@ def main() -> None:
     ap.add_argument("--replay-only", action="store_true")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")))
+    ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    spark = build_session(cpus=args.cpus)
+    # fixed shuffle partitioning for the same reason as the fixed input
+    # splits: the logical job must be identical at every parallelism
+    spark = build_session(cpus=args.cpus, shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.replay_only:
-        out = run_replay(spark, args.events)
+        # untimed warmup: JIT/codegen compilation of the whole pipeline
+        # costs tens of seconds on the first execution and would otherwise
+        # be charged to the measured run
+        run_replay(spark, 200_000, batches=2)
+        out = run_replay(spark, args.events, batches=args.batches)
         out["cpus"] = args.cpus
         print(json.dumps(out))
         spark.stop()

@@ -1,0 +1,83 @@
+"""Scaling-efficiency evidence for the BASELINE.json north rule.
+
+The rule's two-cluster-size criterion (N vs 4N executors, efficiency
+>= 0.8) cannot use a real cluster in this sandbox, so per the round
+instructions we run the SAME replay job at two parallelism levels on
+the same input and report throughput at both plus
+``efficiency = tput(4N) / (4 * tput(N))``.
+
+Levels default to local[2] vs local[8] so BOTH runs are unconstrained
+by the 32 physical cores (each Spark thread gets a whole core; we are
+measuring the job's parallel scalability, not host saturation).
+Each level runs ``--repeats`` times and takes the best (the sandbox VM
+throttles sustained load by up to 3x, see BENCH.md).
+
+Usage: python scripts/scaling_bench.py [--n 4] [--events 4000000]
+                                       [--repeats 2] [--update-bench-md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, events: int, repeats: int, batches: int = 2) -> dict:
+    """Pin the whole process tree (JVM task threads AND its GC/shuffle
+    IO/Python-worker auxiliary threads) to exactly ``cpus`` physical
+    cores via taskset — local[N] alone lets auxiliary threads spill
+    onto the host's other cores, which inflates small-N throughput and
+    understates scaling."""
+    best = None
+    for i in range(repeats):
+        proc = subprocess.run(
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, os.path.join(REPO, "bench.py"),
+             "--replay-only", "--cpus", str(cpus), "--events", str(events),
+             "--batches", str(batches)],
+            capture_output=True, text=True, cwd=REPO,
+            env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        out = json.loads(line)
+        print(f"  local[{cpus}] run {i + 1}/{repeats}: "
+              f"{out['events_per_sec']:.0f} events/sec ({out['seconds']}s)",
+              file=sys.stderr)
+        if best is None or out["events_per_sec"] > best["events_per_sec"]:
+            best = out
+    return best
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--events", type=int, default=8_000_000)
+    ap.add_argument("--batches", type=int, default=2)
+    ap.add_argument("--repeats", type=int, default=2)
+    args = ap.parse_args()
+
+    lo = run_level(args.n, args.events, args.repeats, args.batches)
+    hi = run_level(4 * args.n, args.events, args.repeats, args.batches)
+    eff = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
+    result = {
+        "events": args.events,
+        "n_cores": args.n,
+        "n4_cores": 4 * args.n,
+        "throughput_n": lo["events_per_sec"],
+        "throughput_4n": hi["events_per_sec"],
+        "seconds_n": lo["seconds"],
+        "seconds_4n": hi["seconds"],
+        "scaling_efficiency": round(eff, 3),
+        "pass": eff >= 0.8,
+        "batches": args.batches,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

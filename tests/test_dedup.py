@@ -29,7 +29,7 @@ ROWS = [
 ]
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted"])
+@pytest.mark.parametrize("strategy", ["agg", "window", "salted"])
 def test_latest_per_key(spark, strategy):
     df = _changelog(spark, ROWS)
     got = {
@@ -39,7 +39,7 @@ def test_latest_per_key(spark, strategy):
     assert got == {"k1": (5, "U", "b"), "k2": (2, "I", "d"), "k3": (6, "D", None)}
 
 
-@pytest.mark.parametrize("strategy", ["window", "salted"])
+@pytest.mark.parametrize("strategy", ["agg", "window", "salted"])
 def test_hot_key_skew(spark, strategy):
     # one key holds 90% of a 50k-row batch — the salted path splits it
     n = 50_000
@@ -66,7 +66,8 @@ def test_strategies_agree(spark):
     df = _changelog(spark, ROWS)
     a = sorted(map(tuple, latest_change_per_key(df, strategy="window").collect()))
     b = sorted(map(tuple, latest_change_per_key(df, strategy="salted").collect()))
-    assert a == b
+    c = sorted(map(tuple, latest_change_per_key(df, strategy="agg").collect()))
+    assert a == b == c
 
 
 def test_unknown_strategy(spark):

@@ -204,3 +204,40 @@ def test_reference_minimal_fixture_parity(spark, lake_root):
     )
     assert got == [(1, "Tom"), (2, "Jerry"), (4, "Spike2"), (6, "Quacker2")]
     assert table.watermark()["version"] == 6
+
+
+def test_partial_overlap_redelivery_cannot_regress(spark, lake_root):
+    """A redelivered batch whose version range PARTIALLY overlaps the
+    committed watermark (shifted boundaries after a crash) must not let
+    a stale change overwrite a newer table row — the per-row stale
+    guard (version > watermark) inside apply_batch, not just the
+    batch-level skip."""
+    eng = make_engine(spark, lake_root, max_events_per_batch=10**9)
+    log = synth_transcripts_changelog(spark, 1000, num_convs=30, seed=11)
+    eng.run_incremental(log)
+    wm = eng.table.watermark()["version"]
+    assert wm == 1000
+    before = sorted_pdf(eng.current_state(), OUT_COLS)
+
+    # adversarial redelivery: the first 800 versions again (all stale)
+    # PLUS fresh events 1001-1100 — batch max > wm, so the batch itself
+    # is applied; every stale row must be dropped row-wise
+    stale = log.filter(F.col("sys_change_version") <= 800)
+    fresh = synth_transcripts_changelog(spark, 100, num_convs=30, seed=11,
+                                        version_offset=1000)
+    res = eng.apply_batch(stale.unionByName(fresh))
+    assert not res.skipped and res.max_version == 1100
+
+    # oracle: original 1000 + the 100 fresh events — the stale rows are
+    # already part of history; replaying them changes nothing
+    import pandas as pd
+    want = oracle_final_state(
+        pd.concat([log.toPandas(), fresh.toPandas()], ignore_index=True),
+        PAYLOAD_COLS,
+    )
+    got = sorted_pdf(eng.current_state(), OUT_COLS)
+    assert_tables_equal(got, want)
+    # sanity: no key regressed below its pre-redelivery version
+    merged = before.merge(got, on=["conv_id", "turn_idx"], how="inner",
+                          suffixes=("_old", "_new"))
+    assert (merged["sys_change_version_new"] >= merged["sys_change_version_old"]).all()

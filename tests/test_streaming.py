@@ -1,0 +1,107 @@
+"""Structured-Streaming mode: file-source changelog tail -> foreachBatch
+apply -> checkpointed restart. Port of the reference's continuous-mode
+contract (poll loop + resume, StreamRunner.scala:196-258) onto real
+Spark Structured Streaming."""
+
+import os
+
+from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+from arcane_stream_sqlserver_change_tracking_spark.sources.changelog import (
+    synth_transcripts_changelog,
+)
+from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+    CdcEngine,
+    EngineOptions,
+)
+from arcane_stream_sqlserver_change_tracking_spark.streaming.stream import (
+    changelog_file_stream,
+    run_stream,
+)
+
+from helpers import TRANSCRIPTS_SCHEMA, assert_tables_equal, oracle_final_state, sorted_pdf
+
+PAYLOAD_COLS = ["conv_id", "turn_idx", "role", "text", "ts"]
+OUT_COLS = PAYLOAD_COLS + ["sys_change_version"]
+
+
+def _land_chunks(spark, directory, total, chunk, offset=0, seed=3):
+    """Write parquet change files into the tailed directory — the shape
+    a WAL/CHANGETABLE shipper would land."""
+    os.makedirs(directory, exist_ok=True)
+    full = synth_transcripts_changelog(spark, total + offset, num_convs=150, seed=seed)
+    for lo in range(offset, total + offset, chunk):
+        part = full.filter(
+            (full.sys_change_version > lo) & (full.sys_change_version <= lo + chunk)
+        )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.Table.from_pandas(part.toPandas()),
+            os.path.join(directory, f"chunk-{lo:08d}.parquet"),
+            coerce_timestamps="us",
+        )
+    return full
+
+
+def test_stream_drain_restart_exactly_once(spark, tmp_path):
+    land_dir = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    eng = CdcEngine(
+        spark,
+        LakeTable(spark, str(tmp_path / "t")),
+        EngineOptions(num_buckets=8),
+    )
+    eng.bootstrap(TRANSCRIPTS_SCHEMA)
+
+    # phase 1: land 3 chunks, drain with availableNow (one micro-batch
+    # per file via maxFilesPerTrigger=1)
+    full = _land_chunks(spark, land_dir, total=6000, chunk=2000)
+    schema = full.schema
+    q = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    assert len(eng.metrics) == 3
+    assert eng.table.watermark()["version"] == 6000
+
+    got = sorted_pdf(eng.current_state(), OUT_COLS)
+    want = oracle_final_state(full.toPandas(), PAYLOAD_COLS)
+    assert_tables_equal(got, want)
+
+    # phase 2: land 2 more chunks (a version continuation), restart the
+    # stream on the SAME checkpoint — only the new files are processed
+    full2 = _land_chunks(spark, land_dir, total=4000, chunk=2000, offset=6000)
+    q2 = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, schema, max_files_per_trigger=1),
+        ckpt,
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert eng.table.watermark()["version"] == 10000
+    got2 = sorted_pdf(eng.current_state(), OUT_COLS)
+    want2 = oracle_final_state(full2.toPandas(), PAYLOAD_COLS)
+    assert_tables_equal(got2, want2)
+
+    # phase 3: fresh checkpoint replays ALL files (at-least-once
+    # delivery) — the engine's watermark gate must skip every batch,
+    # leaving state untouched: exactly-once end to end
+    snap_before = eng.table.current_snapshot().snapshot_id
+    n_batches_before = len(eng.metrics)
+    q3 = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt2"),
+        available_now=True,
+    )
+    q3.awaitTermination(120)
+    replayed = eng.metrics[n_batches_before:]
+    assert all(r.skipped for r in replayed)
+    assert eng.table.current_snapshot().snapshot_id == snap_before
+    got3 = sorted_pdf(eng.current_state(), OUT_COLS)
+    assert_tables_equal(got3, want2)
