@@ -310,7 +310,10 @@ def q_transcripts_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         EngineOptions(
             key_columns=("conv_id", "turn_idx"),
             num_buckets=16,
-            max_events_per_batch=2500,
+            # 4 micro-batches at bench scale (sf0.1, 100k events); the
+            # many-batch replay path is correctness-gated by
+            # cdc_engine_e2e (2500/batch at sf0.01) and the test suite
+            max_events_per_batch=25_000,
             normalize_text_columns=("text",),
             sort_within=("conv_id", "turn_idx"),
         ),
