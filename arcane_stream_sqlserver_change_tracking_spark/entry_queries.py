@@ -78,7 +78,7 @@ def _events_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sources/changelog.events_as_changelog)
 _LOG_CTE = """
 log AS (
-  SELECT event_id AS sys_change_version,
+  SELECT event_id + 1 AS sys_change_version,
          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS sys_change_operation,
          user_id, ts, event_type, value, props
   FROM events)

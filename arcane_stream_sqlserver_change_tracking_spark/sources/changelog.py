@@ -170,9 +170,12 @@ def transcripts_from_events(events: DataFrame, num_turns: int = 40) -> DataFrame
 
 
 def events_as_changelog(events: DataFrame) -> DataFrame:
-    """Adapt the driver testdata ``events`` table to the changelog shape."""
+    """Adapt the driver testdata ``events`` table to the changelog shape.
+
+    version = event_id + 1: versions must be strictly positive so the
+    epoch watermark (0) does not swallow the first event."""
     return events.select(
-        F.col("event_id").alias(VERSION_COL),
+        (F.col("event_id") + F.lit(1)).alias(VERSION_COL),
         F.when(F.col("event_type") == "error", F.lit("D"))
         .otherwise(F.lit("U"))
         .alias(OPERATION_COL),
