@@ -105,3 +105,55 @@ def test_stream_drain_restart_exactly_once(spark, tmp_path):
     assert eng.table.current_snapshot().snapshot_id == snap_before
     got3 = sorted_pdf(eng.current_state(), OUT_COLS)
     assert_tables_equal(got3, want2)
+
+
+def test_stream_schema_evolution_across_restart(spark, tmp_path):
+    """Reference live-DDL contract (SchemaMigrationTests.scala:160-207)
+    in streaming form: phase-2 landed files carry a new ``tool``
+    column; the restarted stream's batches evolve the target schema and
+    pre-evolution rows read as NULL in the new column."""
+    land_dir = str(tmp_path / "landing")
+    eng = CdcEngine(
+        spark,
+        LakeTable(spark, str(tmp_path / "t")),
+        EngineOptions(num_buckets=8),
+    )
+    eng.bootstrap(TRANSCRIPTS_SCHEMA)
+
+    full1 = _land_chunks(spark, land_dir, total=3000, chunk=1500, seed=9)
+    q = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, full1.schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt1"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    assert "tool" not in [f.name for f in eng.table.schema().fields]
+
+    # source evolves: new files carry `tool`
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    full2 = synth_transcripts_changelog(
+        spark, 4500, num_convs=150, seed=9, with_tool=True
+    ).filter("sys_change_version > 3000")
+    pq.write_table(
+        pa.Table.from_pandas(full2.toPandas()),
+        os.path.join(land_dir, "chunk-evolved.parquet"),
+        coerce_timestamps="us",
+    )
+    q2 = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, full2.schema, max_files_per_trigger=1),
+        str(tmp_path / "ckpt2"),  # new schema => new query/checkpoint
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+
+    assert "tool" in [f.name for f in eng.table.schema().fields]
+    state = eng.current_state()
+    # pre-evolution rows null-padded; some post-evolution tool rows present
+    pre = state.filter("sys_change_version <= 3000")
+    assert pre.filter("tool is not null").count() == 0
+    assert state.filter("tool is not null").count() > 0
+    assert eng.table.watermark()["version"] == 4500
