@@ -254,13 +254,19 @@ def q_cdc_engine_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = tempfile.mkdtemp(prefix="cdc_e2e_")
     table = LakeTable(spark, os.path.join(root, "t"))
+    # batch size proportional to the feed (parquet footer count, no
+    # scan): 4 micro-batches at the sf0.01 correctness gate, ~10 at
+    # bench scale — multi-batch replay exercised at every sf
+    import pyarrow.parquet as pq
+
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
     eng = CdcEngine(
         spark,
         table,
         EngineOptions(
             key_columns=("user_id",),
             num_buckets=16,
-            max_events_per_batch=2500,
+            max_events_per_batch=max(2500, n_events // 10),
         ),
     )
     eng.bootstrap(payload)

@@ -74,7 +74,7 @@ TRANSCRIPT_PAYLOAD = T.StructType(
 
 def run_replay(spark, num_events: int, num_buckets: int = 32,
                batches: int = 4, num_convs: int = 200_000,
-               num_partitions: int = 32) -> dict:
+               num_partitions: int | None = None) -> dict:
     """Replay a deterministic synthetic transcripts changelog through
     the full engine (dedup → merge → commit per micro-batch); returns
     throughput. The changelog is generated, never materialized — the
@@ -101,7 +101,8 @@ def run_replay(spark, num_events: int, num_buckets: int = 32,
         # artificially large (= more efficient) partitions
         log = synth_transcripts_changelog(
             spark, num_events, num_convs=num_convs, hot_conv_count=4,
-            hot_fraction=0.2, payload_repeat=4, num_partitions=num_partitions,
+            hot_fraction=0.2, payload_repeat=4,
+            num_partitions=num_partitions or spark.sparkContext.defaultParallelism,
         )
         t0 = time.monotonic()
         results = eng.run_incremental(log, maintenance=False)
@@ -123,20 +124,22 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--events", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS", "2000000")))
     ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--partitions", type=int, default=0,
+                    help="fixed split/shuffle partition count; 0 = 3x cpus. "
+                         "scaling_bench pins this so both levels run the identical job")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
-    # fixed shuffle partitioning for the same reason as the fixed input
-    # splits: the logical job must be identical at every parallelism
-    spark = build_session(cpus=args.cpus, shuffle_partitions=32)
+    parts = args.partitions or 3 * args.cpus
+    spark = build_session(cpus=args.cpus, shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.replay_only:
         # untimed warmup: JIT/codegen compilation of the whole pipeline
         # costs tens of seconds on the first execution and would otherwise
         # be charged to the measured run
-        run_replay(spark, 200_000, batches=2)
-        out = run_replay(spark, args.events, batches=args.batches)
+        run_replay(spark, 200_000, batches=2, num_partitions=parts)
+        out = run_replay(spark, args.events, batches=args.batches, num_partitions=parts)
         out["cpus"] = args.cpus
         print(json.dumps(out))
         spark.stop()

@@ -39,7 +39,7 @@ def run_level(cpus: int, events: int, repeats: int, batches: int = 2) -> dict:
             ["taskset", "-c", f"0-{cpus - 1}",
              sys.executable, os.path.join(REPO, "bench.py"),
              "--replay-only", "--cpus", str(cpus), "--events", str(events),
-             "--batches", str(batches)],
+             "--batches", str(batches), "--partitions", "32"],
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
         )
