@@ -157,3 +157,43 @@ def test_stream_schema_evolution_across_restart(spark, tmp_path):
     assert pre.filter("tool is not null").count() == 0
     assert state.filter("tool is not null").count() > 0
     assert eng.table.watermark()["version"] == 4500
+
+
+def test_stream_processing_time_trigger(spark, tmp_path):
+    """Continuous mode (changeCaptureInterval analog): a
+    processingTime-triggered query picks up files landed while running."""
+    import time
+
+    land_dir = str(tmp_path / "landing")
+    eng = CdcEngine(
+        spark,
+        LakeTable(spark, str(tmp_path / "t")),
+        EngineOptions(num_buckets=8),
+    )
+    eng.bootstrap(TRANSCRIPTS_SCHEMA)
+    full = _land_chunks(spark, land_dir, total=2000, chunk=2000, seed=13)
+    q = run_stream(
+        eng,
+        changelog_file_stream(spark, land_dir, full.schema, max_files_per_trigger=2),
+        str(tmp_path / "ckpt"),
+        processing_time="1 seconds",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and (eng.table.watermark()["version"] < 2000):
+            time.sleep(0.5)
+        assert eng.table.watermark()["version"] == 2000
+
+        # land more while the query is live
+        full2 = _land_chunks(spark, land_dir, total=2000, chunk=2000,
+                             offset=2000, seed=13)
+        deadline = time.time() + 60
+        while time.time() < deadline and (eng.table.watermark()["version"] < 4000):
+            time.sleep(0.5)
+        assert eng.table.watermark()["version"] == 4000
+    finally:
+        q.stop()
+
+    got = sorted_pdf(eng.current_state(), OUT_COLS)
+    want = oracle_final_state(full2.toPandas(), PAYLOAD_COLS)
+    assert_tables_equal(got, want)
