@@ -365,3 +365,18 @@ class CdcEngine:
     # ------------------------------------------------------------------
     def current_state(self) -> DataFrame:
         return self.table.read()
+
+    def state_at(self, snapshot_id: int) -> DataFrame:
+        """Time travel: the replicated state as of an earlier commit."""
+        return self.table.read(snapshot_id=snapshot_id)
+
+    def lineage(self) -> dict[str, Any]:
+        """Committed per-partition lineage (A2/K4): last applied
+        version, row counts and apply latency per bucket, as persisted
+        in the current snapshot's watermark."""
+        wm = self.table.watermark() or {}
+        return {
+            "version": wm.get("version"),
+            "batch_seq": wm.get("batch_seq"),
+            "partitions": wm.get("partitions", []),
+        }

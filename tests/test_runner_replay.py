@@ -241,3 +241,26 @@ def test_partial_overlap_redelivery_cannot_regress(spark, lake_root):
     merged = before.merge(got, on=["conv_id", "turn_idx"], how="inner",
                           suffixes=("_old", "_new"))
     assert (merged["sys_change_version_new"] >= merged["sys_change_version_old"]).all()
+
+
+def test_maintenance_cadence_and_time_travel(spark, lake_root):
+    """K7 cadence wired into the loop (every N batches) + snapshot time
+    travel through the engine API."""
+    eng = make_engine(spark, lake_root, max_events_per_batch=1000,
+                      maintenance_interval_batches=2)
+    log = synth_transcripts_changelog(spark, 4000, num_convs=50, seed=21)
+    results = eng.run_incremental(log)   # 4 batches -> 2 maintenance passes
+    assert len(results) == 4
+    files = len(eng.table.current_snapshot().files)
+    # compaction keeps file count at ~one per touched bucket
+    assert files <= 16 * 2
+
+    lin = eng.lineage()
+    assert lin["version"] == 4000
+    assert lin["partitions"] and all("last_version" in p for p in lin["partitions"])
+
+    # time travel: state at the first commit has only batch-1 data
+    first_commit = next(sid for sid in eng.table.snapshot_log() if sid > 0
+                        and eng.table.snapshot(sid).watermark.get("version", 0) > 0)
+    old = eng.state_at(first_commit)
+    assert old.agg(F.max("sys_change_version")).collect()[0][0] <= 1100
