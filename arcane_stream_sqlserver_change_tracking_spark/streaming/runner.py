@@ -230,9 +230,14 @@ class CdcEngine:
                 }
                 for r in bucket_stats
             ]
+            # upserts are ALSO bucket-aligned: the dedup shuffle hash-
+            # partitioned them by merge key with Spark's murmur3 — the
+            # same function bucket_expr uses — so each shuffle partition
+            # holds whole buckets and the partitioned writer fans out
+            # without another Exchange. Zero shuffles in the merge write.
             def do_commit():
                 return self.table.replace_buckets(
-                    parts=[(retained_cast, True), (upserts_cast, False)],
+                    parts=[(retained_cast, True), (upserts_cast, True)],
                     buckets=touched,
                     schema=evolved if diff.changed else None,
                     watermark={
