@@ -29,6 +29,8 @@ never prepared raises ``WatermarkNotSetError("Invalid watermark value:
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Any, Callable
@@ -111,6 +113,16 @@ class CdcEngine:
         self.opts = options or EngineOptions()
         self.metrics: list[BatchResult] = []
 
+    def _emit_metrics(self, result: BatchResult) -> None:
+        """A2 parity (DeclaredMetrics/statsd publisher, main.scala:111,
+        115-116): one JSON line per applied batch under the table root —
+        rows, versions, bucket fan-out, phase latencies. Swap the file
+        sink for a statsd/OTel emitter in production; the record shape
+        is the contract."""
+        path = os.path.join(self.table.root, "metrics.jsonl")
+        with open(path, "a") as f:
+            f.write(json.dumps({"event": "batch_applied", **vars(result)}) + "\n")
+
     # ------------------------------------------------------------------
     # bootstrap (T5 DefaultStreamBootstrapper: ensure target + epoch wm)
     # ------------------------------------------------------------------
@@ -187,6 +199,7 @@ class CdcEngine:
             if not bucket_stats:
                 result = BatchResult(seq, 0, 0, wm, 0, time.monotonic() - t0, skipped=True)
                 self.metrics.append(result)
+                self._emit_metrics(result)
                 return result
             max_version = max(int(r["last_version"]) for r in bucket_stats)
             rows_deduped = sum(int(r["rows"]) for r in bucket_stats)
@@ -195,6 +208,7 @@ class CdcEngine:
                 result = BatchResult(seq, rows_deduped, rows_deduped, max_version, 0,
                                      time.monotonic() - t0, skipped=True)
                 self.metrics.append(result)
+                self._emit_metrics(result)
                 return result
             touched = sorted(int(r[_BUCKET]) for r in bucket_stats)
 
@@ -260,6 +274,7 @@ class CdcEngine:
                 commit_seconds=round(time.monotonic() - t_commit, 3),
             )
             self.metrics.append(result)
+            self._emit_metrics(result)
             return result
         finally:
             if self.opts.cache_batches:

@@ -264,3 +264,22 @@ def test_maintenance_cadence_and_time_travel(spark, lake_root):
                         and eng.table.snapshot(sid).watermark.get("version", 0) > 0)
     old = eng.state_at(first_commit)
     assert old.agg(F.max("sys_change_version")).collect()[0][0] <= 1100
+
+
+def test_metrics_jsonl_emitted(spark, lake_root):
+    """A2: one JSON line per batch (applied AND skipped) under the
+    table root with rows/versions/latency fields."""
+    import json, os
+
+    eng = make_engine(spark, lake_root, max_events_per_batch=1000)
+    log = synth_transcripts_changelog(spark, 2000, num_convs=30, seed=17)
+    eng.run_incremental(log)
+    eng.run_incremental(log)  # re-drain: no-op, no extra lines
+    path = os.path.join(eng.table.root, "metrics.jsonl")
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 2
+    for rec in lines:
+        assert rec["event"] == "batch_applied"
+        assert {"batch_seq", "rows_deduped", "max_version",
+                "prepare_seconds", "commit_seconds", "skipped"} <= set(rec)
+    assert lines[-1]["max_version"] == 2000
