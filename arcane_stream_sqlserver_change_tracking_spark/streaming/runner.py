@@ -91,6 +91,8 @@ class EngineOptions:
                                   # stats job and the merge-write job
                                   # share it (measured ~20% faster than
                                   # recompute-with-shuffle-reuse)
+    pipeline_batches: bool = True  # overlap batch k+1 staging with
+                                   # batch k's commit (run_incremental)
 
 
 @dataclass
@@ -180,105 +182,121 @@ class CdcEngine:
                 df = df.withColumn(c, norm(F.col(c)))
         return df.withColumn(_BUCKET, bucket_expr(MERGE_KEY_COL, self.table.num_buckets))
 
+    def _stage(self, batch: DataFrame, watermark_version: int):
+        """Prepare a batch (dedup/normalize/bucket), cache it, and run
+        the ONE stats job (touched buckets, per-bucket lineage, max
+        version). Independent of table mutations, so the next batch can
+        stage while the previous one commits (pipelined loop)."""
+        deduped = self._prepare(batch, watermark_version=watermark_version)
+        if self.opts.cache_batches:
+            deduped = deduped.persist()
+        bucket_stats = (
+            deduped.groupBy(_BUCKET)
+            .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))
+            .collect()
+        )
+        return deduped, bucket_stats
+
     def apply_batch(self, batch: DataFrame, batch_seq: int | None = None) -> BatchResult:
         """Apply one micro-batch (the foreachBatch body)."""
         t0 = time.monotonic()
         wm = self.current_watermark()
-        seq = batch_seq if batch_seq is not None else int(self.table.watermark().get("batch_seq", 0)) + 1
-
-        deduped = self._prepare(batch, watermark_version=wm)
-        if self.opts.cache_batches:
-            deduped = deduped.persist()
+        deduped, bucket_stats = self._stage(batch, wm)
         try:
-            # ONE job yields: touched buckets, per-bucket lineage, max version
-            bucket_stats = (
-                deduped.groupBy(_BUCKET)
-                .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))
-                .collect()
-            )
-            if not bucket_stats:
-                result = BatchResult(seq, 0, 0, wm, 0, time.monotonic() - t0, skipped=True)
-                self.metrics.append(result)
-                self._emit_metrics(result)
-                return result
-            max_version = max(int(r["last_version"]) for r in bucket_stats)
-            rows_deduped = sum(int(r["rows"]) for r in bucket_stats)
-            if max_version <= wm:
-                # idempotence guard: already applied (crash-replay window)
-                result = BatchResult(seq, rows_deduped, rows_deduped, max_version, 0,
-                                     time.monotonic() - t0, skipped=True)
-                self.metrics.append(result)
-                self._emit_metrics(result)
-                return result
-            touched = sorted(int(r[_BUCKET]) for r in bucket_stats)
-
-            # schema migration (K6): diff batch payload vs table schema
-            target_schema = self.table.schema()
-            diff = diff_schemas(target_schema, deduped.schema, system_columns=SYSTEM_COLS)
-            evolved = diff.evolved
-            target_cols = [f.name for f in evolved.fields]
-
-            existing = self.table.read(buckets=touched)
-            broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
-            plan = plan_merge(existing, deduped, target_cols, broadcast_keys=broadcast)
-            # enforce exact evolved types (lit(None) columns are NullType);
-            # keep retained and upserts separate: retained rows come from
-            # this table's own per-bucket files, so their write skips the
-            # bucket shuffle (plans/lake.py _write_data_files aligned path)
-            def _cast(df: DataFrame) -> DataFrame:
-                return df.select(
-                    *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
-                )
-            retained_cast = _cast(plan.retained)
-            upserts_cast = _cast(plan.upserts)
-
-            # per-partition lineage (FIXTURES.md §3): bucket = the stable
-            # partition identity; latency measured up to commit start
-            pre_commit_ms = int((time.monotonic() - t0) * 1000)
-            lineage = [
-                {
-                    "partition_id": int(r[_BUCKET]),
-                    "last_version": int(r["last_version"]),
-                    "rows_applied": int(r["rows"]),
-                    "apply_latency_ms": pre_commit_ms,
-                }
-                for r in bucket_stats
-            ]
-            # upserts are ALSO bucket-aligned: the dedup shuffle hash-
-            # partitioned them by merge key with Spark's murmur3 — the
-            # same function bucket_expr uses — so each shuffle partition
-            # holds whole buckets and the partitioned writer fans out
-            # without another Exchange. Zero shuffles in the merge write.
-            def do_commit():
-                return self.table.replace_buckets(
-                    parts=[(retained_cast, True), (upserts_cast, True)],
-                    buckets=touched,
-                    schema=evolved if diff.changed else None,
-                    watermark={
-                        "version": max_version,
-                        "batch_seq": seq,
-                        "partitions": lineage,
-                    },
-                    lineage=lineage,
-                    max_rows_per_file=self.opts.max_rows_per_file,
-                    sort_within=list(self.opts.sort_within) or None,
-                )
-
-            t_commit = time.monotonic()
-            self._with_retry(do_commit)
-            dt = time.monotonic() - t0
-            result = BatchResult(
-                batch_seq=seq, rows_in=rows_deduped, rows_deduped=rows_deduped,
-                max_version=max_version, touched_buckets=len(touched), apply_seconds=dt,
-                prepare_seconds=round(pre_commit_ms / 1000.0, 3),
-                commit_seconds=round(time.monotonic() - t_commit, 3),
-            )
-            self.metrics.append(result)
-            self._emit_metrics(result)
-            return result
+            return self._apply_staged(deduped, bucket_stats, t0, batch_seq)
         finally:
             if self.opts.cache_batches:
                 deduped.unpersist()
+
+    def _apply_staged(
+        self,
+        deduped: DataFrame,
+        bucket_stats,
+        t0: float,
+        batch_seq: int | None = None,
+    ) -> BatchResult:
+        wm = self.current_watermark()
+        seq = batch_seq if batch_seq is not None else int(self.table.watermark().get("batch_seq", 0)) + 1
+        if not bucket_stats:
+            result = BatchResult(seq, 0, 0, wm, 0, time.monotonic() - t0, skipped=True)
+            self.metrics.append(result)
+            self._emit_metrics(result)
+            return result
+        max_version = max(int(r["last_version"]) for r in bucket_stats)
+        rows_deduped = sum(int(r["rows"]) for r in bucket_stats)
+        if max_version <= wm:
+            # idempotence guard: already applied (crash-replay window)
+            result = BatchResult(seq, rows_deduped, rows_deduped, max_version, 0,
+                                 time.monotonic() - t0, skipped=True)
+            self.metrics.append(result)
+            self._emit_metrics(result)
+            return result
+        touched = sorted(int(r[_BUCKET]) for r in bucket_stats)
+
+        # schema migration (K6): diff batch payload vs table schema
+        target_schema = self.table.schema()
+        diff = diff_schemas(target_schema, deduped.schema, system_columns=SYSTEM_COLS)
+        evolved = diff.evolved
+        target_cols = [f.name for f in evolved.fields]
+
+        existing = self.table.read(buckets=touched)
+        broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
+        plan = plan_merge(existing, deduped, target_cols, broadcast_keys=broadcast)
+        # enforce exact evolved types (lit(None) columns are NullType);
+        # keep retained and upserts separate: retained rows come from
+        # this table's own per-bucket files, so their write skips the
+        # bucket shuffle (plans/lake.py _write_data_files aligned path)
+        def _cast(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+            )
+        retained_cast = _cast(plan.retained)
+        upserts_cast = _cast(plan.upserts)
+
+        # per-partition lineage (FIXTURES.md §3): bucket = the stable
+        # partition identity; latency measured up to commit start
+        pre_commit_ms = int((time.monotonic() - t0) * 1000)
+        lineage = [
+            {
+                "partition_id": int(r[_BUCKET]),
+                "last_version": int(r["last_version"]),
+                "rows_applied": int(r["rows"]),
+                "apply_latency_ms": pre_commit_ms,
+            }
+            for r in bucket_stats
+        ]
+        # upserts are ALSO bucket-aligned: the dedup shuffle hash-
+        # partitioned them by merge key with Spark's murmur3 — the
+        # same function bucket_expr uses — so each shuffle partition
+        # holds whole buckets and the partitioned writer fans out
+        # without another Exchange. Zero shuffles in the merge write.
+        def do_commit():
+            return self.table.replace_buckets(
+                parts=[(retained_cast, True), (upserts_cast, True)],
+                buckets=touched,
+                schema=evolved if diff.changed else None,
+                watermark={
+                    "version": max_version,
+                    "batch_seq": seq,
+                    "partitions": lineage,
+                },
+                lineage=lineage,
+                max_rows_per_file=self.opts.max_rows_per_file,
+                sort_within=list(self.opts.sort_within) or None,
+            )
+
+        t_commit = time.monotonic()
+        self._with_retry(do_commit)
+        dt = time.monotonic() - t0
+        result = BatchResult(
+            batch_seq=seq, rows_in=rows_deduped, rows_deduped=rows_deduped,
+            max_version=max_version, touched_buckets=len(touched), apply_seconds=dt,
+            prepare_seconds=round(pre_commit_ms / 1000.0, 3),
+            commit_seconds=round(time.monotonic() - t_commit, 3),
+        )
+        self.metrics.append(result)
+        self._emit_metrics(result)
+        return result
 
     def _with_retry(self, fn: Callable[[], Any]) -> Any:
         """K3 retry semantics: exponential backoff, retry only when the
@@ -307,18 +325,64 @@ class CdcEngine:
     ) -> list[BatchResult]:
         """Drain all pending changes (version > watermark) in
         count-balanced micro-batches. This is the batch-replay twin of
-        the polling loop; call it per poll tick for continuous mode."""
+        the polling loop; call it per poll tick for continuous mode.
+
+        The loop is PIPELINED when ``opts.pipeline_batches``: batch
+        k+1's staging (dedup shuffle + cache + stats job — pure reads,
+        independent of table state) runs on a helper thread while batch
+        k's merge-write commits. Correct because chunks are disjoint
+        ascending version ranges: every row of chunk k+1 is above any
+        watermark chunk k can commit, so staging early with the
+        pre-loop watermark filters identically. Commits stay strictly
+        serial — the watermark sequence is untouched."""
+        from concurrent.futures import ThreadPoolExecutor
+
         wm = self.current_watermark()
         pending = incremental_read(normalize_column_names(changelog), wm)
         chunks = version_chunks(pending, self.opts.max_events_per_batch)
+        if max_batches is not None:
+            chunks = chunks[:max_batches]
         results: list[BatchResult] = []
-        for i, (lo, hi) in enumerate(chunks):
-            if max_batches is not None and i >= max_batches:
-                break
-            res = self.apply_batch(chunk_filter(pending, lo, hi))
-            results.append(res)
-            if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
-                self.run_maintenance()
+        if not chunks:
+            return results
+
+        if not self.opts.pipeline_batches or len(chunks) == 1:
+            for lo, hi in chunks:
+                res = self.apply_batch(chunk_filter(pending, lo, hi))
+                results.append(res)
+                if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
+                    self.run_maintenance()
+            return results
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            t0 = time.monotonic()
+            fut = ex.submit(self._stage, chunk_filter(pending, *chunks[0]), wm)
+            staged_pending = [fut]
+            try:
+                for i in range(len(chunks)):
+                    deduped, stats = staged_pending.pop(0).result()
+                    t_batch = time.monotonic() if i else t0
+                    if i + 1 < len(chunks):
+                        nxt = ex.submit(
+                            self._stage, chunk_filter(pending, *chunks[i + 1]), wm
+                        )
+                        staged_pending.append(nxt)
+                    try:
+                        res = self._apply_staged(deduped, stats, t_batch)
+                    finally:
+                        if self.opts.cache_batches:
+                            deduped.unpersist()
+                    results.append(res)
+                    if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
+                        self.run_maintenance()
+            finally:
+                for f in staged_pending:
+                    try:
+                        d, _ = f.result()
+                        if self.opts.cache_batches:
+                            d.unpersist()
+                    except Exception:
+                        pass
         return results
 
     # ------------------------------------------------------------------
