@@ -321,6 +321,12 @@ def q_transcripts_cdc_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cdc_engine_e2e (2500/batch at sf0.01) and the test suite
             max_events_per_batch=25_000,
             normalize_text_columns=("text",),
+            # the flagship runs the Arrow pandas-UDF normalization path
+            # (the north-star surface); it executes AFTER dedup, so the
+            # Arrow round-trip carries only surviving rows. The replay
+            # throughput benchmark keeps the default JVM-codegen "expr"
+            # path — same observable results on this corpus (ASCII).
+            normalize_impl="pandas",
             sort_within=("conv_id", "turn_idx"),
         ),
     )

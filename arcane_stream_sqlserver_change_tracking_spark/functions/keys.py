@@ -35,6 +35,14 @@ OP_INSERT = "I"
 OP_UPDATE = "U"
 OP_DELETE = "D"
 
+#: name of the bucket hash function this engine version writes. Recorded
+#: in table properties at create() and validated when a table is opened:
+#: files bucketed under a DIFFERENT hash would silently defeat merge's
+#: touched-bucket pruning (the anti-join would retain a key's existing
+#: rows and the table would accumulate duplicates), so a mismatch is a
+#: hard error, never a fallback.
+BUCKET_HASH_NAME = "murmur3"
+
 
 def merge_key_expr(key_columns: Sequence[str]) -> Column:
     """sha2-256 over the unit-separated string form of the key columns.

@@ -9,7 +9,12 @@ the engine provides the same guarantees itself:
   old or the new snapshot, never a torn state. Mirrors Iceberg's
   metadata-pointer swap.
 * **bucket partitioning on the merge key** — every data file belongs to
-  one bucket of ``pmod(xxhash64(arcane_merge_key), num_buckets)``;
+  one bucket of ``pmod(murmur3(arcane_merge_key), num_buckets)`` (Spark's
+  ``F.hash``, the same function hashpartitioning uses — see
+  functions/keys.bucket_expr for why that alignment matters); the hash
+  function NAME is recorded in table properties and validated on open,
+  so a table written under a different bucketing can never be silently
+  merged into (see ``BucketHashMismatchError``);
   mirrors the reference target's ``partitionExpressions:
   [bucket(arcane_merge_key, 10)]`` (docs/crd.md:115). A MERGE batch
   touching k buckets reads and rewrites ONLY those buckets — per-batch
@@ -54,9 +59,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.keys import MERGE_KEY_COL, bucket_expr
+from ..functions.keys import BUCKET_HASH_NAME, MERGE_KEY_COL, bucket_expr
 
 _BUCKET = "__bucket"
+
+
+class BucketHashMismatchError(RuntimeError):
+    """The table on disk was bucketed with a different hash function than
+    this engine version writes — merging would silently duplicate keys
+    (touched-bucket pruning would miss their existing rows)."""
 
 
 @dataclass
@@ -179,6 +190,7 @@ class LakeTable:
             raise ValueError(f"schema must contain {MERGE_KEY_COL}")
         props = {
             "num_buckets": num_buckets,
+            "bucket_hash": BUCKET_HASH_NAME,
             "key_columns": key_columns or [],
             "max_field_id": len(schema.fields),
             "field_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
@@ -199,6 +211,13 @@ class LakeTable:
         snap = self.current_snapshot()
         if snap is None:
             raise FileNotFoundError(f"no such table: {self.root}")
+        recorded = snap.properties.get("bucket_hash", BUCKET_HASH_NAME)
+        if recorded != BUCKET_HASH_NAME:
+            raise BucketHashMismatchError(
+                f"table {self.root} was bucketed with {recorded!r} but this "
+                f"engine writes {BUCKET_HASH_NAME!r}; rewrite the table "
+                f"(backfill overwrite) before merging into it"
+            )
         return snap
 
     def schema(self) -> T.StructType:

@@ -40,11 +40,19 @@ def build_session(
     # shuffle/spill to tmpfs when available: the sandbox's single virtio
     # disk (~350 MB/s) serializes concurrent shuffle writers and masks
     # CPU scaling; a real cluster's per-executor local SSDs / S3
-    # aggregate bandwidth is the honest model
-    if os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/spark-local"
-        os.makedirs(local_dir, exist_ok=True)
-        b = b.config("spark.local.dir", local_dir)
+    # aggregate bandwidth is the honest model. Gated: opt out with
+    # SPARK_GRAFT_TMPFS_SHUFFLE=0, and only enabled when the tmpfs has
+    # headroom (SPARK_GRAFT_TMPFS_MIN_FREE_GB, default 8) — shuffle on a
+    # nearly-full RAM disk would otherwise fail mid-job where a disk
+    # would merely slow down.
+    if os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE", "1") != "0" and os.path.isdir("/dev/shm"):
+        import shutil as _sh
+
+        min_free = float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "8"))
+        if _sh.disk_usage("/dev/shm").free >= min_free * (1 << 30):
+            local_dir = "/dev/shm/spark-local"
+            os.makedirs(local_dir, exist_ok=True)
+            b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()

@@ -10,7 +10,10 @@ prints ONE JSON line::
 The headline ``value`` is the BASELINE.json metric — change-events/sec
 applied end-to-end through the CDC engine (synthetic transcripts
 changelog → dedup → merge → atomic commit) — measured on a
-``--events``-sized replay in the same session.
+``--events``-sized replay in the same session. The replay uses the
+JVM-codegen text-normalization path (EngineOptions default); the Arrow
+pandas-UDF path is exercised by the flagship ``transcripts_cdc_e2e``
+correctness query and produces identical output on this corpus.
 
 ``--replay-only --cpus N`` runs just the replay at a given parallelism
 and prints its JSON; scripts/scaling_bench.py uses this to evidence the

@@ -142,3 +142,29 @@ def test_analyze_stats(spark, lake_root):
     assert stats["rows"] == 77
     assert stats["files"] >= 1
     assert t.current_snapshot().properties["stats"]["rows"] == 77
+
+
+def test_bucket_hash_mismatch_fails_fast(spark, lake_root):
+    """A table bucketed under a different hash function must refuse to
+    open: touched-bucket pruning under the wrong hash would silently
+    accumulate duplicate keys (ADVICE r1)."""
+    import json
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import (
+        BucketHashMismatchError,
+    )
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=4)
+    assert t.current_snapshot().properties["bucket_hash"] == "murmur3"
+    # simulate a table written by a hypothetical xxhash64-bucketing build
+    with open(os.path.join(t.meta_dir, "_current")) as f:
+        name = f.read().strip()
+    mpath = os.path.join(t.meta_dir, name)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["properties"]["bucket_hash"] = "xxhash64"
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(BucketHashMismatchError, match="xxhash64"):
+        t.read()

@@ -36,11 +36,14 @@ def test_frame_sampling_explodes(spark, docs):
     by_doc = {}
     for r in frames:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # 200 bytes -> 4 frames of <=64; 11 bytes -> 1 frame; empty -> 1 frame
+    # 200 bytes -> 4 frames of <=64; 11 bytes -> 1 frame; empty payload
+    # -> ZERO frames (nothing to sample — same as the DuckDB oracle's
+    # generate_series(0, ceil(0/64)-1) producing no offsets)
     assert len(by_doc[2]) == 4
     assert [r["frame_idx"] for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])] == [0, 1, 2, 3]
     assert by_doc[2][0]["frame_hash"] == hashlib.sha256(b"x" * 64).hexdigest()
     assert len(by_doc[1]) == 1
+    assert 3 not in by_doc
 
 
 def test_resize_stub_preserves_rows(spark, docs):
