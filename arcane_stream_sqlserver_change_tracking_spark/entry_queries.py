@@ -58,8 +58,11 @@ from .operators.similarity import (
     ivf_assign,
     ivf_topk,
 )
+from .functions.keys import with_merge_key
+from .operators.similarity import embedding_near_dup_lsh
 from .plans.lake import LakeTable
 from .sources.changelog import events_as_changelog, transcripts_from_events
+from .sources.mssql import simulate_changetable_result, to_changelog
 from .streaming.runner import CdcEngine, EngineOptions
 
 
@@ -368,6 +371,46 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_mssql_changetable_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: the CHANGETABLE adapter path end-to-end minus the wire — a
+    raw CHANGETABLE(CHANGES)-shaped result set (uppercase SYS_CHANGE_*
+    metadata, special-char source names, NULL payload for deletes,
+    per-row ChangeTrackingVersion stamp) through
+    ``sources.mssql.to_changelog`` (name normalization + casts) and the
+    net-change replay. The SQL/option builders that would produce this
+    exact result set over JDBC are pinned by tests/test_mssql.py."""
+    raw = simulate_changetable_result(_t(spark, sf_dir, "events"))
+    log = to_changelog(raw)
+    log = with_merge_key(log, ["Id"])
+    latest = latest_change_per_key(log, strategy="agg")
+    return latest.filter(F.col(OPERATION_COL) != "D").select(
+        "Id",
+        F.col(VERSION_COL).alias("last_version"),
+        "Name",
+        "Value",
+        "changetrackingversion",
+    )
+
+
+SQL_MSSQL_FEED = """
+WITH raw AS (
+  SELECT event_id + 1 AS v,
+         CASE event_type WHEN 'error' THEN 'D'
+                         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+         user_id % 40 AS id,
+         CASE WHEN event_type <> 'error' THEN 'name-' || event_type END AS name,
+         CASE WHEN event_type <> 'error' THEN value END AS val
+  FROM events),
+ctv AS (SELECT max(event_id) + 1 AS changetrackingversion FROM events),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY v DESC) AS rn
+  FROM raw)
+SELECT id AS "Id", v AS last_version, name AS "Name", val AS "Value",
+       ctv.changetrackingversion
+FROM ranked, ctv WHERE rn = 1 AND op <> 'D'
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline: dedup family (documents)
 # ---------------------------------------------------------------------------
@@ -514,9 +557,51 @@ SELECT vec_id, centroid_id FROM ranked WHERE rn = 1
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-probed ANN — rows-only check (multi-stage plan; the exact
-    brute-force twin is q_embedding_topk)."""
+    """IVF-probed ANN. Deterministic stride centroids make the probed
+    search fully oracle-able (SQL_IVF_TOPK mirrors assignment, probe
+    selection and per-bucket ranking); quality vs exact is additionally
+    measured as recall@k in tests/test_dedup.py."""
     return ivf_topk(_t(spark, sf_dir, "embeddings"), F.col("vec_id") < 20, k=5, nprobe=3)
+
+
+SQL_IVF_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id % 50 = 0),
+ascore AS (
+  SELECT v.vec_id, centroid_id,
+         round(({_DOT.format(a='vec', b='cvec')})
+               / (({_NORM.format(a='vec')}) * ({_NORM.format(a='cvec')})), 9) AS sim
+  FROM v, c),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM ascore) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < 20),
+qc AS (
+  SELECT query_id, qvec, centroid_id, cvec,
+         round(({_DOT.format(a='qvec', b='cvec')})
+               / (({_NORM.format(a='qvec')}) * ({_NORM.format(a='cvec')})), 9) AS csim
+  FROM q, c),
+probes AS (
+  SELECT query_id, qvec, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY csim DESC, centroid_id ASC) AS rn
+    FROM qc) WHERE rn <= 3),
+corpus AS (
+  SELECT v.vec_id AS neighbor_id, v.vec AS nvec, a.centroid_id
+  FROM v JOIN assign a ON a.vec_id = v.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(({_DOT.format(a='qvec', b='nvec')})
+               / (({_NORM.format(a='qvec')}) * ({_NORM.format(a='nvec')})), 9) AS sim
+  FROM probes JOIN corpus USING (centroid_id)
+  WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) WHERE rank <= 5
+"""
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,6 +616,59 @@ pairs AS (
                / (({_NORM.format(a='x.vec')}) * ({_NORM.format(a='y.vec')})), 9) AS sim
   FROM v x JOIN v y ON x.vec_id < y.vec_id)
 SELECT a, b, sim FROM pairs WHERE sim >= 0.3
+"""
+
+
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (hyperplane-LSH) near-dup — the scale path twin of
+    q_embedding_near_dup; candidates come from an equi-join on
+    (band_idx, band_val), never an all-pairs cross join."""
+    return embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.45, num_planes=48, num_bands=16, dim=64,
+    )
+
+
+def _sql_near_dup_lsh(
+    threshold: float = 0.45, num_planes: int = 48, num_bands: int = 16, dim: int = 64
+) -> str:
+    """DuckDB twin of embedding_near_dup_lsh: identical plane literals →
+    identical sign bits → identical candidate buckets → exact equality."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(num_planes, dim)
+    bits_per = num_planes // num_bands
+    band_exprs = []
+    for band in range(num_bands):
+        terms = []
+        for j in range(bits_per):
+            lits = ", ".join(repr(x) for x in planes[band * bits_per + j])
+            dot = _DOT.format(a="vec", b=f"[{lits}]")
+            terms.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END)")
+        band_exprs.append(" + ".join(terms) + f" AS band{band}")
+    sig_cols = ",\n         ".join(band_exprs)
+    band_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_idx, band{b} AS band_val FROM sig"
+        for b in range(num_bands)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+sig AS (
+  SELECT vec_id,
+         {sig_cols}
+  FROM v),
+bands AS (
+{band_union}),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y USING (band_idx, band_val)
+  WHERE x.vec_id < y.vec_id),
+pairs AS (
+  SELECT a, b,
+         round(({_DOT.format(a='va.vec', b='vb.vec')})
+               / (({_NORM.format(a='va.vec')}) * ({_NORM.format(a='vb.vec')})), 9) AS sim
+  FROM cand JOIN v va ON va.vec_id = cand.a JOIN v vb ON vb.vec_id = cand.b)
+SELECT a, b, sim FROM pairs WHERE sim >= {threshold}
 """
 
 
@@ -682,14 +820,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_batch_stats": q_a1_batch_stats,
         "cdc_engine_e2e": q_cdc_engine_e2e,
         "transcripts_cdc_e2e": q_transcripts_cdc_e2e,
+        "mssql_changetable_feed": q_mssql_changetable_feed,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk_cosine": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
-        "ivf_topk_ann": q_ivf_topk,          # rows-only (no oracle)
+        "ivf_topk_ann": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "token_counts": q_token_counts,
@@ -710,13 +850,16 @@ def oracle_sql() -> dict[str, str]:
         "a1_batch_stats": SQL_A1,
         "cdc_engine_e2e": SQL_E2E,
         "transcripts_cdc_e2e": SQL_TRANSCRIPTS_E2E,
+        "mssql_changetable_feed": SQL_MSSQL_FEED,
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
         "embedding_topk_cosine": SQL_TOPK,
         "ivf_assign": SQL_IVF_ASSIGN,
+        "ivf_topk_ann": SQL_IVF_TOPK,
         "embedding_near_dup": SQL_NEAR_DUP,
+        "embedding_near_dup_lsh": _sql_near_dup_lsh(),
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
         "token_counts": SQL_TOKEN_COUNTS,

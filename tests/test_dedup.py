@@ -73,3 +73,92 @@ def test_strategies_agree(spark):
 def test_unknown_strategy(spark):
     with pytest.raises(ValueError):
         latest_change_per_key(_changelog(spark, ROWS), strategy="nope")
+
+
+# ---------------------------------------------------------------------------
+# similarity-family quality harnesses (LSH near-dup recall, ANN recall@k,
+# k-means centroid option)
+# ---------------------------------------------------------------------------
+
+def test_lsh_near_dup_full_recall_on_corpus(spark, sf_dir):
+    """The bucketed LSH near-dup must be a verified superset→equal of
+    the exact all-pairs operator on the test corpus at the driver-query
+    parameters (VERDICT r1 item 3)."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["a"], r["b"]) for r in
+        embedding_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]) for r in
+        embedding_near_dup_lsh(
+            emb, threshold=0.45, num_planes=48, num_bands=16, dim=64
+        ).collect()
+    }
+    assert exact, "corpus must contain near-dup pairs at this threshold"
+    # LSH verifies candidates with the exact cosine, so lsh ⊆ exact
+    # always; full recall on this corpus makes them equal
+    assert lsh == exact
+
+
+def test_lsh_plan_is_bucketed_equi_join(spark, sf_dir):
+    """The candidate join must be a hash/sort-merge equi-join — never a
+    BroadcastNestedLoop/cartesian like the exact all-pairs baseline."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = embedding_near_dup_lsh(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_recall_at_k(spark, sf_dir):
+    """ANN quality metric: probed IVF top-k vs exact brute-force top-k.
+    With stride centroids and nprobe=3 on this corpus the probed search
+    must recover most true neighbors."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = brute_force_topk(emb, F.col("vec_id") < 20, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    def recall(nprobe: int) -> float:
+        ann = ivf_topk(emb, F.col("vec_id") < 20, k=5, nprobe=nprobe).collect()
+        found = {(r["query_id"], r["neighbor_id"]) for r in ann}
+        return len(truth & found) / len(truth)
+
+    # measured 0.48 at nprobe=3/10 centroids on sf0.001 — genuinely
+    # approximate; more probes probe a superset of buckets, so recall is
+    # monotone in nprobe and reaches 1.0 when all buckets are probed
+    r3, r5, r_all = recall(3), recall(5), recall(10)
+    assert r3 >= 0.4, f"recall@5 {r3:.2f} below floor"
+    assert r5 >= r3
+    assert r_all == 1.0
+
+
+def test_kmeans_centroids_option(spark, sf_dir):
+    """centroids_mode='kmeans' must run (Lloyd refinement over the
+    stride init) and assign every vector to a valid centroid id."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    out = ivf_assign(emb, centroid_stride=50, centroids_mode="kmeans",
+                     kmeans_iters=2)
+    rows = out.collect()
+    assert len(rows) == 200
+    cids = {r["centroid_id"] for r in rows}
+    assert cids and all(c % 50 == 0 for c in cids)
+    with pytest.raises(ValueError, match="centroids_mode"):
+        ivf_assign(emb, centroids_mode="nope").collect()
