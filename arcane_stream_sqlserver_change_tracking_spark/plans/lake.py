@@ -3,23 +3,53 @@ parquet, playing the role Iceberg plays for the reference (K1/K2 sinks,
 main.scala:75,80-84). No Iceberg runtime jar ships in this sandbox, so
 the engine provides the same guarantees itself:
 
-* **atomic commits** — a snapshot is a JSON manifest listing immutable
-  parquet data files; the table's current state is a single pointer file
-  replaced with ``os.replace`` (atomic on POSIX). Readers see either the
-  old or the new snapshot, never a torn state. Mirrors Iceberg's
-  metadata-pointer swap.
+* **atomic commits** — a snapshot is a JSON *manifest list* pointing at
+  per-bucket manifest files; the table's current state is a single
+  pointer file replaced with ``os.replace`` (atomic on POSIX). Readers
+  see either the old or the new snapshot, never a torn state. Mirrors
+  Iceberg's metadata-pointer swap + manifest-list indirection.
+* **manifest tree** — data files are listed in one manifest file PER
+  BUCKET; a commit writes new manifests only for the buckets it touched
+  and re-points the untouched buckets at the parent snapshot's
+  manifests. Commit metadata IO is therefore O(touched buckets' files),
+  not O(table files): a 10k-file table whose batch touches 2 buckets
+  commits ~2/num_buckets of the listing bytes plus one small snapshot
+  JSON (test_manifest_commit_scales_with_touched_buckets). Metadata-only
+  commits (watermark, stats) write zero manifests.
+* **rename-free writes** — each write job lands its parquet files
+  directly under an immutable per-snapshot directory
+  (``data/s<snap>-<uuid>/__bucket=N/...``); nothing is ever moved. The
+  files are invisible until the manifest commit references them, which
+  is exactly Iceberg's object-store model: "staging" is a property of
+  the metadata, not a filesystem location. (Round-1 design staged +
+  renamed every file serially in the driver — an O(files) serial segment
+  and a POSIX-only IO model; gone.)
+* **object-store commit story** — on S3-class storage the same design
+  holds: data files and manifests are immutable PUTs with unique names
+  (no rename, no overwrite, no read-after-write ordering requirement);
+  the only primitive that needs coordination is the pointer swap, which
+  maps to a conditional PUT (If-Match / If-None-Match on the pointer
+  object, supported by S3 since 2024-11, and by GCS/ADLS generations
+  long before) or a one-row CAS in any catalog DB — the identical
+  contract Iceberg's catalogs implement. ``os.replace`` is the sandbox
+  stand-in for that CAS.
 * **bucket partitioning on the merge key** — every data file belongs to
   one bucket of ``pmod(murmur3(arcane_merge_key), num_buckets)`` (Spark's
   ``F.hash``, the same function hashpartitioning uses — see
   functions/keys.bucket_expr for why that alignment matters); the hash
   function NAME is recorded in table properties and validated on open,
   so a table written under a different bucketing can never be silently
-  merged into (see ``BucketHashMismatchError``);
-  mirrors the reference target's ``partitionExpressions:
-  [bucket(arcane_merge_key, 10)]`` (docs/crd.md:115). A MERGE batch
-  touching k buckets reads and rewrites ONLY those buckets — per-batch
-  cost scales with batch locality, not table size. This is the property
-  that keeps copy-on-write viable at 100 TB.
+  merged into (see ``BucketHashMismatchError``). Mirrors the reference
+  target's ``partitionExpressions: [bucket(arcane_merge_key, 10)]``
+  (docs/crd.md:115). A MERGE batch touching k buckets reads and rewrites
+  ONLY those buckets — per-batch cost scales with batch locality, not
+  table size. This is the property that keeps copy-on-write viable at
+  100 TB.
+* **parquet bloom filters on equality columns** — table property
+  ``parquet_bloom_filter_columns`` (default: the merge key), the
+  reference's ``parquetBloomFilterColumns`` target-table property
+  (docs/crd.md:124-128): point lookups and MERGE key probes skip row
+  groups whose bloom filter excludes the key.
 * **schema evolution with field ids** — additive-only, like the
   reference (SchemaMigrationTests.scala:160-251): added columns get new
   field ids; old data files simply lack the column and the reader
@@ -39,10 +69,10 @@ the engine provides the same guarantees itself:
 
 Layout::
 
-    <root>/metadata/v00000042.json   # snapshot manifests
-    <root>/metadata/_current         # pointer: name of current manifest
-    <root>/data/part-s42-b0007-*.parquet
-    <root>/.staging/...              # in-flight writes (never referenced)
+    <root>/metadata/v00000042.json         # snapshot (manifest list)
+    <root>/metadata/m-s00000042-b00007-*.json  # per-bucket manifests
+    <root>/metadata/_current               # pointer: current snapshot
+    <root>/data/s00000042-ab12cd34/__bucket=7/part-*.parquet
 """
 
 from __future__ import annotations
@@ -52,6 +82,7 @@ import os
 import shutil
 import time
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -72,23 +103,32 @@ class BucketHashMismatchError(RuntimeError):
 
 @dataclass
 class Snapshot:
+    """One committed table version. ``bucket_manifests`` maps bucket id →
+    {"path": manifest file rel path, "files": n, "rows": n, "bytes": n};
+    the flat file listing is loaded lazily per bucket (``files_for``) so
+    bucket-pruned readers never open untouched buckets' manifests."""
+
     snapshot_id: int
     parent_id: int | None
     schema: T.StructType
-    files: list[dict[str, Any]]  # {"path": rel, "bucket": int, "rows": int, "bytes": int}
+    bucket_manifests: dict[int, dict[str, Any]] = field(default_factory=dict)
     properties: dict[str, Any] = field(default_factory=dict)
     watermark: dict[str, Any] | None = None
     lineage: list[dict[str, Any]] = field(default_factory=list)
     timestamp_ms: int = 0
+    # lazy state (not serialized): table root + per-bucket file cache
+    root: str | None = None
+    _bucket_files: dict[int, list[dict[str, Any]]] = field(default_factory=dict)
 
+    # -- manifest-list (de)serialization ------------------------------
     def to_json(self) -> str:
         return json.dumps(
             {
-                "format_version": 1,
+                "format_version": 2,
                 "snapshot_id": self.snapshot_id,
                 "parent_id": self.parent_id,
                 "schema": json.loads(self.schema.json()),
-                "files": self.files,
+                "bucket_manifests": {str(b): m for b, m in self.bucket_manifests.items()},
                 "properties": self.properties,
                 "watermark": self.watermark,
                 "lineage": self.lineage,
@@ -98,18 +138,54 @@ class Snapshot:
         )
 
     @staticmethod
-    def from_json(text: str) -> "Snapshot":
+    def from_json(text: str, root: str | None = None) -> "Snapshot":
         d = json.loads(text)
-        return Snapshot(
+        snap = Snapshot(
             snapshot_id=d["snapshot_id"],
             parent_id=d.get("parent_id"),
             schema=T.StructType.fromJson(d["schema"]),
-            files=d["files"],
+            bucket_manifests={int(b): m for b, m in d.get("bucket_manifests", {}).items()},
             properties=d.get("properties", {}),
             watermark=d.get("watermark"),
             lineage=d.get("lineage", []),
             timestamp_ms=d.get("timestamp_ms", 0),
+            root=root,
         )
+        if "files" in d:  # format_version 1 (round-1 tables): inline list
+            by_bucket: dict[int, list[dict[str, Any]]] = {}
+            for f in d["files"]:
+                by_bucket.setdefault(int(f["bucket"]), []).append(f)
+            snap._bucket_files = by_bucket
+            snap.bucket_manifests = {
+                b: {"path": None, "files": len(fs),
+                    "rows": sum(x.get("rows", 0) for x in fs),
+                    "bytes": sum(x.get("bytes", 0) for x in fs)}
+                for b, fs in by_bucket.items()
+            }
+        return snap
+
+    # -- lazy file listing --------------------------------------------
+    def files_for(self, buckets: list[int] | None = None) -> list[dict[str, Any]]:
+        """Data-file entries for the given buckets (all buckets when
+        None), loading each bucket's manifest at most once."""
+        wanted = sorted(self.bucket_manifests) if buckets is None else [
+            b for b in buckets if b in self.bucket_manifests
+        ]
+        out: list[dict[str, Any]] = []
+        for b in wanted:
+            if b not in self._bucket_files:
+                m = self.bucket_manifests[b]
+                with open(os.path.join(self.root, m["path"])) as fh:
+                    self._bucket_files[b] = json.load(fh)["files"]
+            out.extend(self._bucket_files[b])
+        return out
+
+    @property
+    def files(self) -> list[dict[str, Any]]:
+        return self.files_for(None)
+
+    def manifest_paths(self) -> list[str]:
+        return [m["path"] for m in self.bucket_manifests.values() if m.get("path")]
 
 
 class LakeTable:
@@ -120,7 +196,7 @@ class LakeTable:
         self.root = os.path.abspath(root)
         self.meta_dir = os.path.join(self.root, "metadata")
         self.data_dir = os.path.join(self.root, "data")
-        self.staging_dir = os.path.join(self.root, ".staging")
+        self.staging_dir = os.path.join(self.root, ".staging")  # v1 sweep compat
 
     # ------------------------------------------------------------------
     # metadata plumbing
@@ -138,11 +214,11 @@ class LakeTable:
         with open(pointer) as f:
             name = f.read().strip()
         with open(os.path.join(self.meta_dir, name)) as f:
-            return Snapshot.from_json(f.read())
+            return Snapshot.from_json(f.read(), root=self.root)
 
     def snapshot(self, snapshot_id: int) -> Snapshot:
         with open(os.path.join(self.meta_dir, self._manifest_name(snapshot_id))) as f:
-            return Snapshot.from_json(f.read())
+            return Snapshot.from_json(f.read(), root=self.root)
 
     def snapshot_log(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
@@ -153,10 +229,61 @@ class LakeTable:
                 ids.append(int(name[1:-5]))
         return sorted(ids)
 
-    def _commit(self, snap: Snapshot) -> Snapshot:
-        """Write manifest then atomically swing the pointer."""
+    def _write_bucket_manifest(
+        self, snapshot_id: int, bucket: int, entries: list[dict[str, Any]]
+    ) -> dict[str, Any]:
+        name = f"m-s{snapshot_id:08d}-b{bucket:05d}-{uuid.uuid4().hex[:8]}.json"
+        path = os.path.join(self.meta_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"bucket": bucket, "files": entries}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+        return {
+            "path": f"metadata/{name}",
+            "files": len(entries),
+            "rows": sum(e.get("rows", 0) for e in entries),
+            "bytes": sum(e.get("bytes", 0) for e in entries),
+        }
+
+    def _commit(
+        self,
+        snap: Snapshot,
+        parent: Snapshot | None = None,
+        new_by_bucket: dict[int, list[dict[str, Any]]] | None = None,
+    ) -> Snapshot:
+        """Write manifests for changed buckets (reusing the parent's for
+        unchanged ones), then the snapshot JSON, then atomically swing
+        the pointer. ``new_by_bucket`` carries the buckets whose content
+        this commit (re)defines; every other bucket inherits the
+        parent's manifest pointer unchanged — zero metadata rewrite for
+        untouched buckets, zero manifests for metadata-only commits."""
         os.makedirs(self.meta_dir, exist_ok=True)
+        snap.root = self.root
         snap.timestamp_ms = int(time.time() * 1000)
+        if new_by_bucket is not None:
+            manifests: dict[int, dict[str, Any]] = {}
+            if parent is not None:
+                manifests.update(parent.bucket_manifests)
+            for b, entries in new_by_bucket.items():
+                if entries:
+                    manifests[b] = self._write_bucket_manifest(
+                        snap.snapshot_id, b, entries
+                    )
+                    snap._bucket_files[b] = entries
+                else:
+                    manifests.pop(b, None)
+            # v1-format parent: its manifest entries have no files on
+            # disk — materialize the inherited buckets once
+            for b, m in list(manifests.items()):
+                if m.get("path") is None:
+                    entries = parent.files_for([b])
+                    manifests[b] = self._write_bucket_manifest(
+                        snap.snapshot_id, b, entries
+                    )
+                    snap._bucket_files[b] = entries
+            snap.bucket_manifests = manifests
         name = self._manifest_name(snap.snapshot_id)
         path = os.path.join(self.meta_dir, name)
         tmp = path + ".tmp"
@@ -165,6 +292,8 @@ class LakeTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, path)
+        # pointer swap — the one primitive that must be a CAS on object
+        # stores (conditional PUT / catalog row); atomic rename here
         ptmp = os.path.join(self.meta_dir, "_current.tmp")
         with open(ptmp, "w") as f:
             f.write(name)
@@ -194,14 +323,17 @@ class LakeTable:
             "key_columns": key_columns or [],
             "max_field_id": len(schema.fields),
             "field_ids": {f.name: i + 1 for i, f in enumerate(schema.fields)},
+            # reference parquetBloomFilterColumns (docs/crd.md:124-128);
+            # normalized names, default = the merge key
+            "parquet_bloom_filter_columns": [MERGE_KEY_COL],
         }
         props.update(properties or {})
         os.makedirs(self.data_dir, exist_ok=True)
         snap = Snapshot(
-            snapshot_id=0, parent_id=None, schema=schema, files=[],
+            snapshot_id=0, parent_id=None, schema=schema,
             properties=props, watermark=watermark,
         )
-        return self._commit(snap)
+        return self._commit(snap, parent=None, new_by_bucket={})
 
     @property
     def num_buckets(self) -> int:
@@ -236,15 +368,14 @@ class LakeTable:
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travel).
 
-        Every file is read with the *current* snapshot schema applied, so
-        files written before a column was added null-pad it — the same
+        Bucket-pruned reads open only the touched buckets' manifests —
+        metadata IO as well as data IO scales with the pruned set.
+        Every file is read with the snapshot schema applied, so files
+        written before a column was added null-pad it — the same
         read-time evolution Iceberg performs via field ids.
         """
         snap = self._require() if snapshot_id is None else self.snapshot(snapshot_id)
-        files = snap.files
-        if buckets is not None:
-            wanted = set(buckets)
-            files = [f for f in files if f["bucket"] in wanted]
+        files = snap.files_for(buckets)
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
@@ -260,10 +391,12 @@ class LakeTable:
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
         shuffle: bool = True,
+        properties: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must match the table schema) into per-bucket
-        parquet files under ``.staging``, then move them into ``data/``.
-        Returns manifest file entries. Nothing is visible until commit.
+        parquet files and return manifest entries. Nothing is visible
+        until commit — the files live in a fresh per-snapshot directory
+        no manifest references yet.
 
         ``shuffle=True``: hash-repartition by bucket first (one shuffle)
         — for new/incoming rows whose partitioning is unrelated to the
@@ -278,7 +411,8 @@ class LakeTable:
         CRD:72-75).
         """
         return self._write_parts(
-            [(df, not shuffle)], snapshot_id, max_rows_per_file, sort_within
+            [(df, not shuffle)], snapshot_id, max_rows_per_file, sort_within,
+            properties,
         )
 
     def _write_parts(
@@ -287,11 +421,14 @@ class LakeTable:
         snapshot_id: int,
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
+        properties: dict[str, Any] | None = None,
     ) -> list[dict[str, Any]]:
         """One write job for any mix of aligned/unaligned parts: each
         unaligned part is bucket-repartitioned, aligned parts pass
         through, and the union (a narrow op — partitions concatenate)
-        feeds a single partitioned write."""
+        feeds a single partitioned write straight into the snapshot
+        directory. No renames follow — the write IS final; visibility
+        comes from the manifest commit."""
         nb = self.num_buckets
         shaped = []
         for df, aligned in parts:
@@ -305,43 +442,72 @@ class LakeTable:
         # cluster by bucket inside each task so the partitioned writer
         # keeps one open file at a time
         out = out.sortWithinPartitions(_BUCKET, *(sort_within or []))
-        stage = os.path.join(self.staging_dir, f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}")
+        snap_dirname = f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}"
+        dest = os.path.join(self.data_dir, snap_dirname)
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
-        writer.partitionBy(_BUCKET).parquet(stage)
+        props = properties if properties is not None else (
+            self.current_snapshot().properties if self.exists() else {}
+        )
+        for c in props.get("parquet_bloom_filter_columns", []):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
+            writer = writer.option(
+                f"parquet.bloom.filter.expected.ndv#{c}",
+                str(props.get("bloom_filter_ndv", 1_000_000)),
+            )
+        writer.partitionBy(_BUCKET).parquet(dest)
 
         entries: list[dict[str, Any]] = []
-        os.makedirs(self.data_dir, exist_ok=True)
-        for dirname in sorted(os.listdir(stage)):
+        for dirname in sorted(os.listdir(dest)):
             if not dirname.startswith(f"{_BUCKET}="):
+                stray = os.path.join(dest, dirname)  # e.g. a _SUCCESS marker
+                if os.path.isfile(stray):
+                    os.remove(stray)
                 continue
             bucket = int(dirname.split("=", 1)[1])
-            bdir = os.path.join(stage, dirname)
-            for i, fname in enumerate(sorted(os.listdir(bdir))):
+            bdir = os.path.join(dest, dirname)
+            for fname in sorted(os.listdir(bdir)):
                 if not fname.endswith(".parquet"):
                     continue
-                src = os.path.join(bdir, fname)
-                new_name = (
-                    f"part-s{snapshot_id:08d}-b{bucket:05d}-"
-                    f"{uuid.uuid4().hex[:12]}-{i:04d}.parquet"
-                )
-                dst = os.path.join(self.data_dir, new_name)
-                nbytes = os.path.getsize(src)
-                os.replace(src, dst)
                 entries.append(
-                    {"path": f"data/{new_name}", "bucket": bucket, "bytes": nbytes}
+                    {
+                        "path": f"data/{snap_dirname}/{dirname}/{fname}",
+                        "bucket": bucket,
+                        "bytes": os.path.getsize(os.path.join(bdir, fname)),
+                    }
                 )
-        shutil.rmtree(stage, ignore_errors=True)
-        # row counts from parquet footers — cheap, no data scan
         self._attach_row_counts(entries)
         return entries
 
     def _attach_row_counts(self, entries: list[dict[str, Any]]) -> None:
+        """Per-file row counts from parquet footers — no data scan, and
+        footers are opened concurrently (they are independent ~KB reads;
+        round 1 read them serially in the driver). On an object store
+        you would instead carry counts from the write tasks' metrics;
+        the manifest schema is the contract, not this collection path."""
         import pyarrow.parquet as pq
 
+        def _count(e: dict[str, Any]) -> None:
+            e["rows"] = pq.ParquetFile(
+                os.path.join(self.root, e["path"])
+            ).metadata.num_rows
+
+        if len(entries) <= 2:
+            for e in entries:
+                _count(e)
+            return
+        with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
+            list(ex.map(_count, entries))
+
+    @staticmethod
+    def _group_by_bucket(
+        entries: list[dict[str, Any]]
+    ) -> dict[int, list[dict[str, Any]]]:
+        by_bucket: dict[int, list[dict[str, Any]]] = {}
         for e in entries:
-            e["rows"] = pq.ParquetFile(os.path.join(self.root, e["path"])).metadata.num_rows
+            by_bucket.setdefault(int(e["bucket"]), []).append(e)
+        return by_bucket
 
     def overwrite(
         self,
@@ -355,14 +521,20 @@ class LakeTable:
         ``backfillBehavior: Overwrite``, CRD:116-118)."""
         snap = self._require()
         new_id = snap.snapshot_id + 1
-        entries = self._write_data_files(df, new_id, max_rows_per_file, sort_within)
+        entries = self._write_data_files(
+            df, new_id, max_rows_per_file, sort_within, properties=snap.properties
+        )
+        by_bucket = self._group_by_bucket(entries)
+        # overwrite redefines EVERY bucket (stale ones become empty)
+        for b in snap.bucket_manifests:
+            by_bucket.setdefault(b, [])
         new = Snapshot(
             snapshot_id=new_id, parent_id=snap.snapshot_id, schema=snap.schema,
-            files=entries, properties=dict(snap.properties),
+            properties=dict(snap.properties),
             watermark=watermark if watermark is not None else snap.watermark,
             lineage=lineage or [],
         )
-        return self._commit(new)
+        return self._commit(new, parent=None, new_by_bucket=by_bucket)
 
     def replace_buckets(
         self,
@@ -377,8 +549,9 @@ class LakeTable:
         parts: list[tuple[DataFrame, bool]] | None = None,
     ) -> Snapshot:
         """Commit a copy-on-write replacement of the given buckets:
-        keep every file outside ``buckets``, swap in the new files for
-        the touched ones. This is the physical form of MERGE.
+        untouched buckets keep their parent manifests (no metadata
+        rewrite), touched buckets get fresh ones. This is the physical
+        form of MERGE.
 
         Content comes either from ``df`` (shuffled by bucket) or from
         ``parts`` — a list of ``(dataframe, aligned)`` pairs written
@@ -404,17 +577,18 @@ class LakeTable:
             props.update(properties_update)
         entries = self._write_parts(
             parts if parts is not None else [(df, False)],
-            new_id, max_rows_per_file, sort_within,
+            new_id, max_rows_per_file, sort_within, properties=props,
         )
-        touched = set(buckets or [])
-        kept = [f for f in snap.files if f["bucket"] not in touched]
+        by_bucket = self._group_by_bucket(entries)
+        for b in buckets or []:
+            by_bucket.setdefault(int(b), [])  # touched but emptied
         new = Snapshot(
             snapshot_id=new_id, parent_id=snap.snapshot_id,
-            schema=new_schema, files=kept + entries, properties=props,
+            schema=new_schema, properties=props,
             watermark=watermark if watermark is not None else snap.watermark,
             lineage=lineage or [],
         )
-        return self._commit(new)
+        return self._commit(new, parent=snap, new_by_bucket=by_bucket)
 
     def append(
         self,
@@ -426,26 +600,33 @@ class LakeTable:
     ) -> Snapshot:
         snap = self._require()
         new_id = snap.snapshot_id + 1
-        entries = self._write_data_files(df, new_id, max_rows_per_file, sort_within)
+        entries = self._write_data_files(
+            df, new_id, max_rows_per_file, sort_within, properties=snap.properties
+        )
+        by_bucket = self._group_by_bucket(entries)
+        # appended buckets = parent entries + new entries
+        for b in list(by_bucket):
+            by_bucket[b] = snap.files_for([b]) + by_bucket[b]
         new = Snapshot(
             snapshot_id=new_id, parent_id=snap.snapshot_id, schema=snap.schema,
-            files=snap.files + entries, properties=dict(snap.properties),
+            properties=dict(snap.properties),
             watermark=watermark if watermark is not None else snap.watermark,
             lineage=lineage or [],
         )
-        return self._commit(new)
+        return self._commit(new, parent=snap, new_by_bucket=by_bucket)
 
     def set_watermark(self, watermark: dict[str, Any]) -> Snapshot:
         """Metadata-only commit that (re)sets the watermark — used to
         prepare the epoch watermark, mirroring ``MsSqlWatermark.epoch``
-        preparation in StreamRunner.scala:188-192."""
+        preparation in StreamRunner.scala:188-192. Writes the snapshot
+        JSON only — zero manifests."""
         snap = self._require()
         new = Snapshot(
             snapshot_id=snap.snapshot_id + 1, parent_id=snap.snapshot_id,
-            schema=snap.schema, files=snap.files, properties=dict(snap.properties),
+            schema=snap.schema, properties=dict(snap.properties),
             watermark=watermark, lineage=snap.lineage,
         )
-        return self._commit(new)
+        return self._commit(new, parent=snap, new_by_bucket={})
 
     # ------------------------------------------------------------------
     # maintenance (reference K7: OPTIMIZE / expire_snapshots /
@@ -459,14 +640,16 @@ class LakeTable:
         the size threshold (reference OPTIMIZE, 512MB default,
         stream-context-yaml-example.yaml:49-52)."""
         snap = self._require()
-        by_bucket: dict[int, list[dict[str, Any]]] = {}
-        for f in snap.files:
-            by_bucket.setdefault(f["bucket"], []).append(f)
-        targets = [
-            b for b, fs in by_bucket.items()
-            if len([f for f in fs if f.get("bytes", 0) < file_size_threshold_bytes])
-            >= min_files_per_bucket
-        ]
+        targets = []
+        for b, m in snap.bucket_manifests.items():
+            if m["files"] < min_files_per_bucket:
+                continue
+            small = [
+                f for f in snap.files_for([b])
+                if f.get("bytes", 0) < file_size_threshold_bytes
+            ]
+            if len(small) >= min_files_per_bucket:
+                targets.append(b)
         if not targets:
             return None
         compacted = self.read(buckets=targets)
@@ -475,26 +658,41 @@ class LakeTable:
         ])
 
     def expire_snapshots(self, keep_last: int = 5) -> list[str]:
-        """Drop old snapshot manifests and delete data files only
-        referenced by them. Returns deleted file paths."""
+        """Drop old snapshot manifests and delete data files (and bucket
+        manifests) only referenced by them. Returns deleted file paths."""
         log = self.snapshot_log()
         keep = set(log[-keep_last:]) if keep_last else set(log)
         cur = self._require().snapshot_id
         keep.add(cur)
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for sid in keep:
-            for f in self.snapshot(sid).files:
+            s = self.snapshot(sid)
+            for f in s.files:
                 live.add(f["path"])
-        deleted: list[str] = []
+            live_manifests.update(s.manifest_paths())
+        # load every expired snapshot's listing BEFORE deleting anything:
+        # expired snapshots may share bucket-manifest files with each
+        # other, and deletion order must not break a later load
+        expired = []
         for sid in log:
             if sid in keep:
                 continue
-            for f in self.snapshot(sid).files:
+            s = self.snapshot(sid)
+            expired.append((sid, s.files, s.manifest_paths()))
+        deleted: list[str] = []
+        for sid, files, mpaths in expired:
+            for f in files:
                 if f["path"] not in live:
                     p = os.path.join(self.root, f["path"])
                     if os.path.exists(p):
                         os.remove(p)
                         deleted.append(f["path"])
+            for mp in mpaths:
+                if mp not in live_manifests:
+                    p = os.path.join(self.root, mp)
+                    if os.path.exists(p):
+                        os.remove(p)
             os.remove(os.path.join(self.meta_dir, self._manifest_name(sid)))
         return deleted
 
@@ -509,30 +707,37 @@ class LakeTable:
                 live.add(f["path"])
         deleted: list[str] = []
         if os.path.isdir(self.data_dir):
-            for name in os.listdir(self.data_dir):
-                rel = f"data/{name}"
-                if rel not in live:
-                    os.remove(os.path.join(self.data_dir, name))
-                    deleted.append(rel)
+            for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
+                for name in filenames:
+                    full = os.path.join(dirpath, name)
+                    rel = os.path.relpath(full, self.root)
+                    if rel not in live:
+                        os.remove(full)
+                        if not name.startswith((".", "_")):
+                            deleted.append(rel)  # side-cars swept silently
+                if dirpath != self.data_dir and not os.listdir(dirpath):
+                    os.rmdir(dirpath)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return deleted
 
     def analyze(self) -> dict[str, Any]:
         """Table statistics (reference ANALYZE, docs/crd.md:168-172):
-        row/byte/file counts per bucket from manifest metadata — no scan."""
+        row/byte/file counts per bucket straight from the manifest-list
+        aggregates — no scan, no manifest opens."""
         snap = self._require()
+        ms = snap.bucket_manifests.values()
         stats = {
             "snapshot_id": snap.snapshot_id,
-            "files": len(snap.files),
-            "rows": sum(f.get("rows", 0) for f in snap.files),
-            "bytes": sum(f.get("bytes", 0) for f in snap.files),
-            "buckets": len({f["bucket"] for f in snap.files}),
+            "files": sum(m["files"] for m in ms),
+            "rows": sum(m["rows"] for m in ms),
+            "bytes": sum(m["bytes"] for m in ms),
+            "buckets": sum(1 for m in ms if m["files"]),
         }
         new = Snapshot(
             snapshot_id=snap.snapshot_id + 1, parent_id=snap.snapshot_id,
-            schema=snap.schema, files=snap.files,
+            schema=snap.schema,
             properties={**snap.properties, "stats": stats},
             watermark=snap.watermark, lineage=snap.lineage,
         )
-        self._commit(new)
+        self._commit(new, parent=snap, new_by_bucket={})
         return stats

@@ -55,4 +55,16 @@ def build_session(
             b = b.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
-    return b.getOrCreate()
+    spark = b.getOrCreate()
+    # no _SUCCESS markers: lake-table visibility comes from manifest
+    # commits, and markers would read as orphans to the sweep
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", "false"
+    )
+    # raw local FS: no side-car .crc checksum files in table data dirs
+    # (parquet carries its own page checksums; the production target is
+    # an object store where side-cars don't exist either)
+    spark.sparkContext._jsc.hadoopConfiguration().set(
+        "fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem"
+    )
+    return spark
