@@ -23,6 +23,11 @@ Modes (reference graph modes, SURVEY.md §3):
 * ``backfill`` — full-reload snapshot apply (``--behavior
   overwrite|merge``), then exit (STREAMCONTEXT__BACKFILL analog).
 * ``maintain`` — one maintenance pass (compact / expire / orphans).
+* ``poll``     — one CHANGETABLE poll tick over live JDBC
+  (``--jdbc-url --source-schema --source-table --pk``): read net
+  changes since the committed watermark through ``sources.mssql`` and
+  apply them; run under cron/k8s at the reference's
+  ``changeCaptureInterval`` cadence.
 """
 
 from __future__ import annotations
@@ -55,7 +60,8 @@ def main(argv: list[str] | None = None) -> int:
     from .streaming.stream import changelog_file_stream, run_stream
 
     ap = argparse.ArgumentParser(prog="arcane_stream_sqlserver_change_tracking_spark")
-    ap.add_argument("--mode", choices=["replay", "stream", "backfill", "maintain"],
+    ap.add_argument("--mode",
+                    choices=["replay", "stream", "backfill", "maintain", "poll"],
                     required=True)
     ap.add_argument("--table", required=True, help="lake table root path")
     ap.add_argument("--changelog", help="parquet path of the changelog (replay/backfill)")
@@ -72,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="changeCaptureInterval analog (stream mode)")
     ap.add_argument("--available-now", action="store_true",
                     help="stream mode: drain available input then stop")
+    ap.add_argument("--jdbc-url", help="poll mode: SQL Server JDBC url")
+    ap.add_argument("--source-schema", default="dbo")
+    ap.add_argument("--source-table")
+    ap.add_argument("--pk", default="conv_id,turn_idx",
+                    help="poll mode: comma-separated PK columns")
+    ap.add_argument("--payload-columns", default="role,text,tool,ts",
+                    help="poll mode: comma-separated non-PK columns")
+    ap.add_argument("--fetch-size", type=int, default=256)
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("arcane-ct-spark").getOrCreate()
@@ -117,6 +131,24 @@ def main(argv: list[str] | None = None) -> int:
     elif args.mode == "maintain":
         eng.run_maintenance()
         print(json.dumps(table.analyze()))
+    elif args.mode == "poll":
+        from .sources.mssql import MsSqlSource
+
+        if not (args.jdbc_url and args.source_table):
+            ap.error("--jdbc-url and --source-table required in poll mode")
+        src = MsSqlSource(
+            url=args.jdbc_url,
+            schema_name=args.source_schema,
+            table_name=args.source_table,
+            pk_columns=tuple(c for c in args.pk.split(",") if c),
+            payload_columns=tuple(c for c in args.payload_columns.split(",") if c),
+            fetch_size=args.fetch_size,
+        )
+        wm = eng.current_watermark()
+        log = src.read_changes(spark, from_version=wm)
+        results = eng.run_incremental(log)
+        for r in results:
+            print(json.dumps(vars(r)))
     return 0
 
 

@@ -110,18 +110,37 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 8,
     threshold: float = 0.5,
+    max_shingle_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle:
     |A∩B| / |A∪B| ≥ threshold → (a, b, jaccard rounded to 6).
 
     The shingle self-join is the candidate generator (equi-join on the
-    shingle value); at scale pair counts are bounded by shingle bucket
-    sizes. For adversarially common shingles, cap bucket width upstream
-    (stopword-shingle removal) — not needed for this corpus."""
+    shingle value), so pair counts are bounded by shingle bucket widths.
+    ``max_shingle_doc_freq`` is the skew guard: a "stop shingle" shared
+    by d documents would alone contribute d² join rows, so shingles with
+    document frequency above the cap are dropped from the candidate
+    join (one extra groupBy — the standard df-cap). Union sizes (the
+    jaccard denominator) still use the FULL shingle sets, so for pairs
+    that survive, the reported jaccard is exact when their shared
+    shingles are all under the cap and a strict lower bound otherwise —
+    a dropped ultra-common shingle can only remove candidates, never
+    inflate similarity. With the cap above the corpus's max df (as in
+    the driver query) results are identical to the uncapped operator."""
     sh = char_shingles(df, text_col, id_col, k)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
-    a = sh.select(F.col(id_col).alias("a"), "shingle")
-    b = sh.select(F.col(id_col).alias("b"), "shingle")
+    if max_shingle_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_doc_freq)
+            .select("shingle")
+        )
+        sh_join = sh.join(keep, "shingle")
+    else:
+        sh_join = sh
+    a = sh_join.select(F.col(id_col).alias("a"), "shingle")
+    b = sh_join.select(F.col(id_col).alias("b"), "shingle")
     inter = (
         a.join(b, on="shingle")
         .filter(F.col("a") < F.col("b"))

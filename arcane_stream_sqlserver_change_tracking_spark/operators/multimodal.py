@@ -157,19 +157,34 @@ def sample_frames(
         ]
     )
 
+    import numpy as np
+
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, hashes = [], [], []
-            for did, blob in zip(pdf[id_col], pdf[payload_col]):
-                for i, off in enumerate(range(0, len(blob), every_n_bytes)):
-                    ids.append(int(did))
-                    idxs.append(i)
-                    hashes.append(
-                        hashlib.sha256(blob[off:off + every_n_bytes]).hexdigest()
-                    )
+            blobs = pdf[payload_col].to_numpy()
+            lens = np.fromiter((len(b) for b in blobs), dtype=np.int64,
+                               count=len(blobs))
+            n_frames = -(-lens // every_n_bytes)  # ceil; 0 for empty
+            # vectorized 1-to-many bookkeeping: repeat ids per frame
+            # count, flat frame indices and byte offsets via np ranges
+            ids = np.repeat(pdf[id_col].to_numpy().astype("int64"), n_frames)
+            total = int(n_frames.sum())
+            starts = np.zeros(len(blobs), dtype=np.int64)
+            if len(blobs) > 1:
+                np.cumsum(n_frames[:-1], out=starts[1:])
+            idxs = np.arange(total, dtype=np.int64) - np.repeat(starts, n_frames)
+            rep_blobs = np.repeat(blobs, n_frames)
+            offs = idxs * every_n_bytes
+            # the per-frame call is the codec seam itself (a real
+            # extractor invokes the decoder once per frame); everything
+            # around it is array arithmetic
+            hashes = [
+                hashlib.sha256(b[o:o + every_n_bytes]).hexdigest()
+                for b, o in zip(rep_blobs, offs)
+            ]
             yield pd.DataFrame(
                 {"doc_id": pd.Series(ids, dtype="int64"),
-                 "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_idx": pd.Series(idxs.astype("int32"), dtype="int32"),
                  "frame_hash": pd.Series(hashes, dtype="object")}
             )
 

@@ -266,14 +266,31 @@ class LakeTable:
             manifests: dict[int, dict[str, Any]] = {}
             if parent is not None:
                 manifests.update(parent.bucket_manifests)
+            to_write = []
             for b, entries in new_by_bucket.items():
                 if entries:
-                    manifests[b] = self._write_bucket_manifest(
-                        snap.snapshot_id, b, entries
-                    )
+                    to_write.append((b, entries))
                     snap._bucket_files[b] = entries
                 else:
                     manifests.pop(b, None)
+            if len(to_write) <= 2:
+                for b, entries in to_write:
+                    manifests[b] = self._write_bucket_manifest(
+                        snap.snapshot_id, b, entries
+                    )
+            else:
+                # independent small files, each fsynced — overlap the IO
+                with ThreadPoolExecutor(max_workers=min(16, len(to_write))) as ex:
+                    for b, m in zip(
+                        (b for b, _ in to_write),
+                        ex.map(
+                            lambda t: self._write_bucket_manifest(
+                                snap.snapshot_id, t[0], t[1]
+                            ),
+                            to_write,
+                        ),
+                    ):
+                        manifests[b] = m
             # v1-format parent: its manifest entries have no files on
             # disk — materialize the inherited buckets once
             for b, m in list(manifests.items()):

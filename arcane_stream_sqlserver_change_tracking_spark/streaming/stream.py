@@ -6,8 +6,10 @@ lifetime services, main.scala:79,91-92,78; SURVEY.md §2.10).
 Spark-first mapping:
 
 * poll scheduler (interval ± jitter)  -> ``trigger(processingTime=...)``
-  (jitter dropped deliberately — it only matters when many streams share
-  one SQL Server; Spark's trigger is per-query already)
+  for the Structured-Streaming mode; :func:`poll_loop` provides the
+  reference's jittered poll cadence (``changeCaptureJitterVariance`` /
+  ``changeCaptureJitterSeed``, crd yaml:132-135) for the tick-driven
+  mode — jitter de-synchronizes many streams sharing one SQL Server
 * one polled batch                    -> one micro-batch in
   ``foreachBatch`` (the natural rowsPerGroup boundary, A1)
 * throughput shaper (T2)              -> ``maxFilesPerTrigger`` /
@@ -31,11 +33,59 @@ or rate-source synthetics.
 
 from __future__ import annotations
 
+import random
+import time
+from collections.abc import Callable, Iterator
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-from .runner import CdcEngine
+from .runner import BatchResult, CdcEngine
+
+
+def poll_intervals(
+    interval_seconds: float,
+    jitter_variance_seconds: float = 0.0,
+    jitter_seed: int = 0,
+) -> Iterator[float]:
+    """Infinite sequence of poll delays: ``interval + uniform[0,
+    variance)`` jitter, deterministic from the seed — the reference's T1
+    ``changeCaptureInterval`` + ``changeCaptureJitterVariance`` /
+    ``changeCaptureJitterSeed`` (crd-microsoft-sql-server-stream.yaml:
+    129-135). Jitter matters when MANY streams tail one SQL Server:
+    seeded offsets keep their polls from landing on the same instant."""
+    rng = random.Random(jitter_seed)
+    while True:
+        delay = interval_seconds
+        if jitter_variance_seconds:
+            delay += rng.random() * jitter_variance_seconds
+        yield delay
+
+
+def poll_loop(
+    engine: CdcEngine,
+    changelog_provider: Callable[[], DataFrame],
+    interval_seconds: float,
+    max_ticks: int | None = None,
+    jitter_variance_seconds: float = 0.0,
+    jitter_seed: int = 0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[BatchResult]:
+    """Tick-driven poll mode: each tick drains everything pending above
+    the committed watermark (``run_incremental``), then sleeps the
+    jittered interval. ``changelog_provider`` is called per tick (e.g.
+    a fresh ``MsSqlSource.read_changes`` from the current watermark);
+    ``sleep`` is injectable for tests."""
+    results: list[BatchResult] = []
+    for tick, delay in enumerate(
+        poll_intervals(interval_seconds, jitter_variance_seconds, jitter_seed)
+    ):
+        if max_ticks is not None and tick >= max_ticks:
+            break
+        results.extend(engine.run_incremental(changelog_provider()))
+        sleep(delay)
+    return results
 
 
 def changelog_file_stream(

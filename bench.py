@@ -110,13 +110,20 @@ def run_replay(spark, num_events: int, num_buckets: int = 32,
         t0 = time.monotonic()
         results = eng.run_incremental(log, maintenance=False)
         dt = time.monotonic() - t0
-        return {
+        out = {
             "events": num_events,
             "seconds": round(dt, 3),
             "events_per_sec": round(num_events / dt, 1),
             "batches": len(results),
             "rows_final": sum(r.rows_deduped for r in results),
         }
+        if os.environ.get("SPARK_GRAFT_BENCH_PHASES"):
+            out["phases"] = [
+                {"seq": r.batch_seq, "prepare": r.prepare_seconds,
+                 "commit": r.commit_seconds, "total": round(r.apply_seconds, 3)}
+                for r in results
+            ]
+        return out
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -197,3 +197,56 @@ def test_stream_processing_time_trigger(spark, tmp_path):
     got = sorted_pdf(eng.current_state(), OUT_COLS)
     want = oracle_final_state(full2.toPandas(), PAYLOAD_COLS)
     assert_tables_equal(got, want)
+
+
+def test_poll_intervals_deterministic_jitter():
+    """T1 jitter parity (changeCaptureJitterVariance/Seed): same seed ->
+    same delay sequence; delays bounded by interval + variance."""
+    from itertools import islice
+
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.stream import (
+        poll_intervals,
+    )
+
+    a = list(islice(poll_intervals(15.0, 5.0, jitter_seed=7), 10))
+    b = list(islice(poll_intervals(15.0, 5.0, jitter_seed=7), 10))
+    c = list(islice(poll_intervals(15.0, 5.0, jitter_seed=8), 10))
+    assert a == b
+    assert a != c
+    assert all(15.0 <= d < 20.0 for d in a)
+    assert len(set(a)) > 1  # actually jittered
+    no_jitter = list(islice(poll_intervals(15.0), 3))
+    assert no_jitter == [15.0, 15.0, 15.0]
+
+
+def test_poll_loop_drains_per_tick(spark, lake_root):
+    """Each poll tick applies only what is newly pending; sleeps follow
+    the jittered schedule (injected clock)."""
+    from pyspark.sql import functions as F
+
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.stream import (
+        poll_loop,
+    )
+
+    eng = CdcEngine(spark, LakeTable(spark, lake_root), EngineOptions(num_buckets=8))
+    eng.bootstrap(TRANSCRIPTS_SCHEMA)
+    log = synth_transcripts_changelog(spark, 3000, num_convs=40, seed=11)
+    visible = {"v": 1000}
+
+    def provider():
+        return log.filter(F.col("sys_change_version") <= visible["v"])
+
+    slept = []
+
+    def fake_sleep(d):
+        slept.append(d)
+        visible["v"] += 1000  # more changes "arrive" between ticks
+
+    results = poll_loop(
+        eng, provider, interval_seconds=15.0, max_ticks=3,
+        jitter_variance_seconds=5.0, jitter_seed=3, sleep=fake_sleep,
+    )
+    assert len(slept) == 3
+    assert all(15.0 <= d < 20.0 for d in slept)
+    assert eng.table.watermark()["version"] == 3000
+    assert sum(r.rows_deduped for r in results) > 0
