@@ -52,6 +52,7 @@ from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
 from .operators.multimodal import attach_binary_payload, decode_media, sample_frames
+from .operators.sessions import session_stats, windowed_event_counts
 from .operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
@@ -714,6 +715,55 @@ FROM offs
 
 
 # ---------------------------------------------------------------------------
+# sessionization + event-time windows (events)
+# ---------------------------------------------------------------------------
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) rolled up per session. Batch
+    twin of the applyInPandasWithState streaming operator
+    (operators/sessions.py; equivalence pinned in tests/test_sessions.py)."""
+    return session_stats(_t(spark, sf_dir, "events"), gap_seconds=1800)
+
+
+SQL_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s,
+         event_id
+  FROM ordered),
+sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS bigint) AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY 1, 2
+"""
+
+
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows × event_type — the batch form
+    of the streaming watermark+window aggregation (same code path;
+    streaming behavior with late data in tests/test_sessions.py)."""
+    return windowed_event_counts(_t(spark, sf_dir, "events"), "1 hour")
+
+
+SQL_WINDOWED = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
 
@@ -832,6 +882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "session_stats": q_session_stats,
+        "windowed_event_counts": q_windowed_event_counts,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -862,6 +914,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": _sql_near_dup_lsh(),
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
+        "session_stats": SQL_SESSIONS,
+        "windowed_event_counts": SQL_WINDOWED,
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),

@@ -1,0 +1,198 @@
+"""Sessionization + windowed aggregation — the streaming-analytics
+operators a transcript/event pipeline needs beyond the reference's
+flat replication (reference is flat-relational, SURVEY.md §1.2; this is
+part of the training-data-pipeline extension surface).
+
+Three forms, one semantics:
+
+* :func:`sessionize` — batch: gap-based session assignment as pure
+  window functions (lag → gap flag → running sum). One shuffle on the
+  user key; oracle-able (classic SQL sessionization).
+* :func:`session_stats` — per-session rollup on top of it.
+* :func:`sessionize_stream` — streaming: the same gap semantics as a
+  custom stateful operator over ``applyInPandasWithState`` (Arrow
+  batches + explicit GroupState), the Spark-native form of "operator
+  the engine lacks": state = the open session per key, carried across
+  micro-batches; closed sessions emit as soon as a later event proves
+  the gap. Use with ``withWatermark`` upstream so state for quiet keys
+  is eventually reclaimed via timeouts in production.
+
+* :func:`windowed_event_counts` — tumbling event-time windows
+  (``F.window``) with per-window aggregates; in streaming mode pair
+  with ``withWatermark`` for bounded state + late-data drop
+  (tests/test_sessions.py exercises the watermark behavior).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session index: a new session starts when the
+    gap since the user's previous event exceeds ``gap_seconds``.
+
+    Plan shape: ONE Exchange on the user key; both window functions
+    (lag + running count) share it. Ties on ``ts`` break by
+    ``order_tiebreak`` for full determinism."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(F.col(ts_col)).over(w)
+    # exact microsecond arithmetic (the source timestamps carry µs;
+    # truncating to seconds would flip gap decisions at the boundary
+    # and diverge from the DuckDB oracle's epoch_us)
+    # cast covers TIMESTAMP_NTZ parquet columns (session tz is UTC, so
+    # NTZ→LTZ is a relabel, not a shift)
+    as_ltz = F.col(ts_col).cast("timestamp")
+    gap_us = F.unix_micros(as_ltz) - F.unix_micros(F.lag(as_ltz).over(w))
+    new_session = F.when(
+        prev_ts.isNull() | (gap_us > gap_seconds * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return events.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-session rollup: (user, session_idx, start, end, n_events).
+    The groupBy re-uses the sessionize shuffle partitioning (same key
+    prefix), so Catalyst plans no second Exchange."""
+    s = sessionize(events, gap_seconds, user_col, ts_col, order_tiebreak)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time windows × group: (window_start, group, n,
+    sum_value). Works identically on a batch DataFrame and a streaming
+    one (add ``withWatermark(ts_col, ...)`` upstream in streaming mode
+    for late-data bounds)."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), window_duration), F.col(group_col))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            group_col,
+            "n",
+            "sum_value",
+        )
+    )
+
+
+#: output of sessionize_stream: closed sessions only
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+#: GroupState layout: open session of the key (timestamps in µs)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization with
+    ``applyInPandasWithState``. State (one open session per key: start,
+    last-seen, count) survives across micro-batches; a batch's events
+    are processed in event-time order, closing and emitting a session
+    whenever the next event is more than ``gap_seconds`` later. Open
+    sessions stay in state (they may still grow).
+
+    This is the (c)-tier custom-operator pattern: Arrow-batched per-key
+    state transition, no per-row Python beyond the per-event fold the
+    semantics require, and the only shuffle is the groupBy on the key."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _fold(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        gap_us = gap_seconds * 1_000_000
+        closed: list[tuple[int, int, int, int]] = []
+        for pdf in pdfs:
+            ts_us = (
+                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000
+            ).sort_values()
+            for t in ts_us:
+                t = int(t)
+                if last_us is None:
+                    start_us, last_us, n = t, t, 1
+                elif t - last_us > gap_us:
+                    closed.append((uid, start_us, last_us, n))
+                    start_us, last_us, n = t, t, 1
+                else:
+                    last_us, n = t, n + 1
+        state.update((start_us, last_us, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+                    "session_start": pd.to_datetime(
+                        [c[1] for c in closed], unit="us"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[2] for c in closed], unit="us"
+                    ),
+                    "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+                }
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        _fold,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
