@@ -303,10 +303,17 @@ def ivf_topk(
     centroid_stride: int = 50,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid
-    buckets per query. Returns (query_id, neighbor_id, rank, sim)."""
-    assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
+    buckets per query. Returns (query_id, neighbor_id, rank, sim).
+
+    ``assign`` lets callers pass a PRE-COMPUTED (vec_id, centroid_id)
+    table — at scale assignments are materialized once (e.g. a
+    LakeTable bucketed by centroid_id) and probed by many queries,
+    instead of re-deriving them per search."""
+    if assign is None:
+        assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
     corpus = (
         with_double_vec(embeddings, vec_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col("vec").alias("nvec"))

@@ -52,6 +52,7 @@ from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (  # 
 BENCH_QUERIES = [
     "transcripts_cdc_e2e",
     "cdc_engine_e2e",
+    "mssql_changetable_feed",
     "w1_net_change_dedup",
     "cdc_replay_final_state",
     "j2_merge_as_join",
@@ -59,6 +60,9 @@ BENCH_QUERIES = [
     "simhash",
     "embedding_topk_cosine",
     "ivf_topk_ann",
+    "embedding_near_dup_lsh",
+    "session_stats",
+    "windowed_event_counts",
     "token_counts",
     "lang_id",
     "quality_score",

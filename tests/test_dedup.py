@@ -162,3 +162,19 @@ def test_kmeans_centroids_option(spark, sf_dir):
     assert cids and all(c % 50 == 0 for c in cids)
     with pytest.raises(ValueError, match="centroids_mode"):
         ivf_assign(emb, centroids_mode="nope").collect()
+
+
+def test_ivf_topk_accepts_precomputed_assignment(spark, sf_dir):
+    """At scale the (vec_id, centroid_id) assignment is a materialized
+    table probed by many queries — passing it in must equal the inline
+    derivation."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    inline = ivf_topk(emb, F.col("vec_id") < 5, k=3, nprobe=2).collect()
+    assign = ivf_assign(emb, centroid_stride=50)
+    pre = ivf_topk(emb, F.col("vec_id") < 5, k=3, nprobe=2, assign=assign).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
