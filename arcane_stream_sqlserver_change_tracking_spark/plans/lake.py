@@ -101,6 +101,14 @@ class BucketHashMismatchError(RuntimeError):
     (touched-bucket pruning would miss their existing rows)."""
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this commit's base snapshot was
+    read (optimistic concurrency, Iceberg-style). The losing writer must
+    re-read the table and re-plan — for a CDC merge that means re-running
+    the batch against the new snapshot (the K3 retry policy can be
+    configured to retry on this message)."""
+
+
 @dataclass
 class Snapshot:
     """One committed table version. ``bucket_manifests`` maps bucket id →
@@ -220,6 +228,23 @@ class LakeTable:
         with open(os.path.join(self.meta_dir, self._manifest_name(snapshot_id))) as f:
             return Snapshot.from_json(f.read(), root=self.root)
 
+    def snapshot_as_of(self, timestamp_ms: int) -> Snapshot:
+        """Time travel by wall clock: the latest snapshot committed at
+        or before ``timestamp_ms`` (Iceberg ``FOR TIMESTAMP AS OF``).
+        Pair with ``read(snapshot_id=...)``."""
+        best: Snapshot | None = None
+        for sid in self.snapshot_log():
+            s = self.snapshot(sid)
+            if s.timestamp_ms <= timestamp_ms and (
+                best is None or s.timestamp_ms >= best.timestamp_ms
+            ):
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {timestamp_ms} in {self.root}"
+            )
+        return best
+
     def snapshot_log(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
             return []
@@ -308,7 +333,23 @@ class LakeTable:
             f.write(snap.to_json())
             f.flush()
             os.fsync(f.fileno())
-        os.replace(tmp, path)
+        # optimistic concurrency: the snapshot file itself is the CAS
+        # token — link(2) publishes the fully-written temp file at the
+        # versioned name and fails iff another writer already claimed
+        # this snapshot id (committed on the same parent). Atomic AND
+        # content-complete (no torn/empty snapshot on crash). On an
+        # object store this is a conditional PUT (If-None-Match) of the
+        # same uniquely-named key; the loser re-reads and re-plans.
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            os.remove(tmp)
+            raise CommitConflictError(
+                f"snapshot {snap.snapshot_id} already committed by a "
+                f"concurrent writer (base {snap.parent_id}); re-read and "
+                f"re-apply"
+            ) from None
+        os.remove(tmp)
         # pointer swap — the one primitive that must be a CAS on object
         # stores (conditional PUT / catalog row); atomic rename here
         ptmp = os.path.join(self.meta_dir, "_current.tmp")

@@ -246,3 +246,50 @@ def test_bloom_filter_written_on_merge_key(spark, lake_root):
     without = sum(e["bytes"] for e in t2.current_snapshot().files)
     # ndv=10k, fpp 1% -> ~12KiB bitset minimum
     assert with_bloom - without > 10_000
+
+
+def test_concurrent_commit_conflict_detected(spark, lake_root):
+    """Optimistic concurrency: a writer whose base snapshot was
+    overtaken must get CommitConflictError, and the winner's commit must
+    stand untouched."""
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import (
+        CommitConflictError,
+        Snapshot,
+    )
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=4)
+    stale_base = t._require()  # both writers read snapshot 0
+
+    # writer 1 wins
+    t.set_watermark({"version": 10, "batch_seq": 1, "partitions": []})
+    assert t._require().snapshot_id == 1
+
+    # writer 2, still on base 0, tries to commit the same snapshot id
+    loser = Snapshot(
+        snapshot_id=1, parent_id=0, schema=stale_base.schema,
+        properties=dict(stale_base.properties),
+        watermark={"version": 99, "batch_seq": 1, "partitions": []},
+    )
+    with pytest.raises(CommitConflictError, match="concurrent writer"):
+        t._commit(loser, parent=stale_base, new_by_bucket={})
+    # winner's state intact
+    assert t.watermark()["version"] == 10
+    assert t._require().snapshot_id == 1
+
+
+def test_snapshot_as_of_timestamp(spark, lake_root):
+    import time as _time
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    t.append(_df(spark, 10))
+    mid = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    t.append(_df(spark, 20, tag=1000))
+    s = t.snapshot_as_of(mid)
+    assert s.snapshot_id == 1
+    assert t.read(snapshot_id=s.snapshot_id).count() == 10
+    assert t.snapshot_as_of(int(_time.time() * 1000)).snapshot_id == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.snapshot_as_of(0)
