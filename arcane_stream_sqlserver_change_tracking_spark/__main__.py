@@ -88,7 +88,23 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--fetch-size", type=int, default=256)
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("arcane-ct-spark").getOrCreate()
+    import os
+
+    # engine-tuned confs that compose with spark-submit: the master (and
+    # any launcher-provided conf) is untouched — cluster submission
+    # keeps full control; standalone runs default to local[*]
+    spark = (
+        SparkSession.builder.appName("arcane-ct-spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "96"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
     table = LakeTable(spark, args.table)
     eng = CdcEngine(
         spark, table,
