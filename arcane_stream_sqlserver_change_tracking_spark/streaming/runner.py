@@ -91,6 +91,10 @@ class EngineOptions:
                                   # stats job and the merge-write job
                                   # share it (measured ~20% faster than
                                   # recompute-with-shuffle-reuse)
+    cache_serialized: bool = False  # serialized (lz4) cache blocks:
+                                  # ~5-10x smaller heap footprint per
+                                  # batch, pays ser/deser CPU — for
+                                  # memory-pressured executors
     pipeline_batches: bool = True  # overlap batch k+1 staging with
                                    # batch k's commit (run_incremental)
 
@@ -189,7 +193,12 @@ class CdcEngine:
         stage while the previous one commits (pipelined loop)."""
         deduped = self._prepare(batch, watermark_version=watermark_version)
         if self.opts.cache_batches:
-            deduped = deduped.persist()
+            if self.opts.cache_serialized:
+                from pyspark import StorageLevel
+
+                deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
+            else:
+                deduped = deduped.persist()
         bucket_stats = (
             deduped.groupBy(_BUCKET)
             .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))

@@ -99,6 +99,7 @@ def run_replay(spark, num_events: int, num_buckets: int = 32,
                 num_buckets=num_buckets,
                 max_events_per_batch=max(1, num_events // batches),
                 normalize_text_columns=("text",),
+                cache_serialized=bool(os.environ.get("SPARK_GRAFT_CACHE_SER")),
             ),
         )
         eng.bootstrap(TRANSCRIPT_PAYLOAD)
