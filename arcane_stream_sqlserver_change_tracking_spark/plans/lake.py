@@ -423,6 +423,7 @@ class LakeTable:
         self,
         buckets: list[int] | None = None,
         snapshot_id: int | None = None,
+        where: dict[str, Any] | None = None,
     ) -> DataFrame:
         """Scan the table (optionally bucket-pruned / time-travel).
 
@@ -431,9 +432,27 @@ class LakeTable:
         Every file is read with the snapshot schema applied, so files
         written before a column was added null-pad it — the same
         read-time evolution Iceberg performs via field ids.
+
+        ``where={col: value}`` is a manifest-stats PRUNING HINT: files
+        whose recorded [min, max] for ``col`` excludes ``value`` are
+        skipped at plan time (zero footer opens — the stats live in the
+        manifest, captured at write when the ``stats_columns`` table
+        property is set). Files without stats for the column are kept.
+        Like Iceberg scan planning, this prunes IO only — apply the
+        actual ``.filter()`` on the returned DataFrame for correctness.
         """
         snap = self._require() if snapshot_id is None else self.snapshot(snapshot_id)
         files = snap.files_for(buckets)
+        if where:
+            def _may_contain(f: dict[str, Any]) -> bool:
+                stats = f.get("stats") or {}
+                for c, v in where.items():
+                    rng = stats.get(c)
+                    if rng is not None and not (rng[0] <= v <= rng[1]):
+                        return False
+                return True
+
+            files = [f for f in files if _may_contain(f)]
         if not files:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
@@ -535,21 +554,58 @@ class LakeTable:
                         "bytes": os.path.getsize(os.path.join(bdir, fname)),
                     }
                 )
-        self._attach_row_counts(entries)
+        self._attach_row_counts(
+            entries, stats_columns=props.get("stats_columns") or None
+        )
         return entries
 
-    def _attach_row_counts(self, entries: list[dict[str, Any]]) -> None:
-        """Per-file row counts from parquet footers — no data scan, and
-        footers are opened concurrently (they are independent ~KB reads;
-        round 1 read them serially in the driver). On an object store
-        you would instead carry counts from the write tasks' metrics;
-        the manifest schema is the contract, not this collection path."""
+    def _attach_row_counts(
+        self, entries: list[dict[str, Any]], stats_columns: list[str] | None = None
+    ) -> None:
+        """Per-file row counts (+ optional per-column min/max) from
+        parquet footers — no data scan, and footers are opened
+        concurrently (they are independent ~KB reads; round 1 read them
+        serially in the driver). On an object store you would instead
+        carry counts/stats from the write tasks' metrics; the manifest
+        schema is the contract, not this collection path.
+
+        ``stats_columns`` (table property of the same name) records
+        min/max per file for string/number columns — the manifest-level
+        file-skipping stats Iceberg keeps. Worthless for the (uniform)
+        hash merge key, valuable for ``sort_within`` columns: a sorted
+        write clusters each file's range, so point/range reads prune to
+        a few files per bucket without opening any footer at plan time."""
         import pyarrow.parquet as pq
 
+        cols = stats_columns or []
+
         def _count(e: dict[str, Any]) -> None:
-            e["rows"] = pq.ParquetFile(
-                os.path.join(self.root, e["path"])
-            ).metadata.num_rows
+            md = pq.ParquetFile(os.path.join(self.root, e["path"])).metadata
+            e["rows"] = md.num_rows
+            if not cols:
+                return
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict[str, list[Any]] = {}
+            for c in cols:
+                i = names.get(c)
+                if i is None:
+                    continue
+                lo = hi = None
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(i).statistics
+                    if s is None or not s.has_min_max:
+                        lo = hi = None
+                        break
+                    mn, mx = s.min, s.max
+                    if not isinstance(mn, (str, int, float)):
+                        lo = hi = None
+                        break
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                if lo is not None:
+                    stats[c] = [lo, hi]
+            if stats:
+                e["stats"] = stats
 
         if len(entries) <= 2:
             for e in entries:

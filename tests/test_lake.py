@@ -293,3 +293,29 @@ def test_snapshot_as_of_timestamp(spark, lake_root):
     assert t.snapshot_as_of(int(_time.time() * 1000)).snapshot_id == 2
     with pytest.raises(ValueError, match="no snapshot"):
         t.snapshot_as_of(0)
+
+
+def test_manifest_stats_prune_files_on_sorted_column(spark, lake_root):
+    """stats_columns + sort_within: per-file min/max recorded in the
+    manifest prunes point reads to the files whose range covers the
+    value — zero footer opens at plan time (Iceberg-style scan
+    planning). The hint is IO-only: the returned frame still needs the
+    real filter."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=1, properties={"stats_columns": ["v"]})
+    # sorted write + small files => disjoint per-file v ranges
+    df = _df(spark, 3000).repartition(1)
+    t.append(df, sort_within=["v"], max_rows_per_file=500)
+    snap = t.current_snapshot()
+    assert len(snap.files) >= 4
+    assert all("stats" in f and "v" in f["stats"] for f in snap.files)
+
+    full = t.read()
+    pruned = t.read(where={"v": 42})
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert len(pruned.inputFiles()) == 1  # disjoint sorted ranges
+    assert pruned.filter(F.col("v") == 42).count() == 1
+    # a value outside every range reads zero files
+    assert t.read(where={"v": 10**9}).count() == 0
+    # unknown-stats column: kept (no false pruning)
+    assert len(t.read(where={"k": "key1"}).inputFiles()) == len(full.inputFiles())
