@@ -36,7 +36,6 @@ import argparse
 import json
 import sys
 
-from pyspark.sql import SparkSession
 from pyspark.sql import types as T
 
 
@@ -90,20 +89,17 @@ def main(argv: list[str] | None = None) -> int:
 
     import os
 
-    # engine-tuned confs that compose with spark-submit: the master (and
-    # any launcher-provided conf) is untouched — cluster submission
-    # keeps full control; standalone runs default to local[*]
-    spark = (
-        SparkSession.builder.appName("arcane-ct-spark")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.shuffle.partitions",
-                os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "96"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
+    from .session import build_session
+
+    # launcher-owned session: spark-submit's master/parallelism/local
+    # dirs are untouched (standalone=False); engine confs + the hadoop
+    # side-car fixes come from the shared factory — one conf list, no
+    # drift between CLI and library sessions
+    spark = build_session(
+        shuffle_partitions=int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "96")
+        ),
+        standalone=False,
     )
     table = LakeTable(spark, args.table)
     eng = CdcEngine(

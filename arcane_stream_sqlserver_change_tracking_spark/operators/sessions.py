@@ -161,19 +161,26 @@ def sessionize_stream(
             n = 0
         gap_us = gap_seconds * 1_000_000
         closed: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            ts_us = (
-                pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000
-            ).sort_values()
-            for t in ts_us:
-                t = int(t)
-                if last_us is None:
-                    start_us, last_us, n = t, t, 1
-                elif t - last_us > gap_us:
-                    closed.append((uid, start_us, last_us, n))
-                    start_us, last_us, n = t, t, 1
-                else:
-                    last_us, n = t, n + 1
+        # the group's micro-batch rows arrive as MULTIPLE Arrow chunks
+        # in shuffle order — gather them all, sort ONCE in event time,
+        # then fold (sorting per chunk would fold across chunk
+        # boundaries out of order and corrupt sessions for any key with
+        # more rows than arrow.maxRecordsPerBatch)
+        chunks = [
+            pd.to_datetime(pdf[ts_col]).astype("int64") // 1_000 for pdf in pdfs
+        ]
+        ts_us = (
+            pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
+        )
+        for t in ts_us:
+            t = int(t)
+            if last_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append((uid, start_us, last_us, n))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = t, n + 1
         state.update((start_us, last_us, n))
         if closed:
             yield pd.DataFrame(

@@ -304,6 +304,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid
     buckets per query. Returns (query_id, neighbor_id, rank, sim).
@@ -311,7 +312,11 @@ def ivf_topk(
     ``assign`` lets callers pass a PRE-COMPUTED (vec_id, centroid_id)
     table — at scale assignments are materialized once (e.g. a
     LakeTable bucketed by centroid_id) and probed by many queries,
-    instead of re-deriving them per search."""
+    instead of re-deriving them per search. When the assignment was
+    built from non-default centroids (``centroids_mode="kmeans"``),
+    pass the SAME ``centroids`` (centroid_id, cvec) here: probe
+    selection must rank against the geometry that built the buckets, or
+    queries probe the wrong buckets and recall silently degrades."""
     if assign is None:
         assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col)
     corpus = (
@@ -321,9 +326,10 @@ def ivf_topk(
     )
     vecs = with_double_vec(embeddings, vec_col)
     queries = vecs.filter(query_filter).select(F.col(id_col).alias("query_id"), F.col("vec").alias("qvec"))
-    centroids = vecs.filter(F.col(id_col) % centroid_stride == 0).select(
-        F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
-    )
+    if centroids is None:
+        centroids = vecs.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec")
+        )
     qc = queries.join(F.broadcast(centroids)).select(
         "query_id", "qvec", "centroid_id",
         F.round(cosine_sim(F.col("qvec"), F.col("cvec")), 9).alias("csim"),

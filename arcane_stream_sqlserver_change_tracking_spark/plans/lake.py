@@ -328,7 +328,10 @@ class LakeTable:
             snap.bucket_manifests = manifests
         name = self._manifest_name(snap.snapshot_id)
         path = os.path.join(self.meta_dir, name)
-        tmp = path + ".tmp"
+        # per-writer unique temp name: two writers racing on the same
+        # snapshot id must never share a temp file (a shared name would
+        # let writer B truncate the bytes writer A is about to publish)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as f:
             f.write(snap.to_json())
             f.flush()
@@ -344,6 +347,32 @@ class LakeTable:
             os.link(tmp, path)
         except FileExistsError:
             os.remove(tmp)
+            # roll-forward repair: if the pointer still names OUR parent,
+            # the existing snapshot file is either a concurrent winner
+            # that crashed before swinging the pointer or one about to
+            # swing it — its content is complete (link publishes whole
+            # files), so advancing the pointer to it is correct in both
+            # cases (idempotent for the live writer) and un-wedges the
+            # crashed-winner state; we still lose and must re-plan.
+            parent_name = (
+                self._manifest_name(snap.parent_id)
+                if snap.parent_id is not None else None
+            )
+            pointer = os.path.join(self.meta_dir, "_current")
+            try:
+                with open(pointer) as pf:
+                    current = pf.read().strip()
+            except FileNotFoundError:
+                current = None
+            if parent_name is not None and current == parent_name:
+                ptmp = os.path.join(
+                    self.meta_dir, f"_current.{uuid.uuid4().hex[:8]}.tmp"
+                )
+                with open(ptmp, "w") as pf:
+                    pf.write(name)
+                    pf.flush()
+                    os.fsync(pf.fileno())
+                os.replace(ptmp, pointer)
             raise CommitConflictError(
                 f"snapshot {snap.snapshot_id} already committed by a "
                 f"concurrent writer (base {snap.parent_id}); re-read and "
@@ -351,8 +380,9 @@ class LakeTable:
             ) from None
         os.remove(tmp)
         # pointer swap — the one primitive that must be a CAS on object
-        # stores (conditional PUT / catalog row); atomic rename here
-        ptmp = os.path.join(self.meta_dir, "_current.tmp")
+        # stores (conditional PUT / catalog row); atomic rename here,
+        # writer-unique temp name (no shared-tmp truncation race)
+        ptmp = os.path.join(self.meta_dir, f"_current.{uuid.uuid4().hex[:8]}.tmp")
         with open(ptmp, "w") as f:
             f.write(name)
             f.flush()
@@ -448,8 +478,15 @@ class LakeTable:
                 stats = f.get("stats") or {}
                 for c, v in where.items():
                     rng = stats.get(c)
-                    if rng is not None and not (rng[0] <= v <= rng[1]):
-                        return False
+                    if rng is None:
+                        continue
+                    try:
+                        if not (rng[0] <= v <= rng[1]):
+                            return False
+                    except TypeError:
+                        # incomparable probe/stat types: a pruning HINT
+                        # must degrade to keeping the file, never abort
+                        continue
                 return True
 
             files = [f for f in files if _may_contain(f)]
@@ -527,11 +564,14 @@ class LakeTable:
         props = properties if properties is not None else (
             self.current_snapshot().properties if self.exists() else {}
         )
+        # expected NDV sizes the bloom bitset (~1.2 bytes/key at 1% fpp):
+        # default to the file row cap so small micro-batch files carry
+        # proportionally small filters instead of a fixed 1 MiB bitset
+        ndv = props.get("bloom_filter_ndv") or max_rows_per_file or 1_000_000
         for c in props.get("parquet_bloom_filter_columns", []):
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
             writer = writer.option(
-                f"parquet.bloom.filter.expected.ndv#{c}",
-                str(props.get("bloom_filter_ndv", 1_000_000)),
+                f"parquet.bloom.filter.expected.ndv#{c}", str(ndv)
             )
         writer.partitionBy(_BUCKET).parquet(dest)
 
@@ -810,27 +850,55 @@ class LakeTable:
             os.remove(os.path.join(self.meta_dir, self._manifest_name(sid)))
         return deleted
 
-    def remove_orphan_files(self) -> list[str]:
+    def remove_orphan_files(self, older_than_seconds: float = 3600.0) -> list[str]:
         """Delete data files not referenced by any retained snapshot
-        (e.g. left by a crash between write and commit) and stale
-        staging dirs — the reference sweeps stale staging tables at
-        stream start (docs/crd.md:45-48)."""
+        (e.g. left by a crash between write and commit), bucket-manifest
+        files not referenced by any snapshot (left by a lost commit
+        race), and stale staging dirs — the reference sweeps stale
+        staging tables at stream start (docs/crd.md:45-48).
+
+        ``older_than_seconds`` is the in-flight guard (Iceberg's
+        ``older_than``): with rename-free writes, a concurrent writer's
+        files exist on disk BEFORE its commit references them, so only
+        files older than the threshold are eligible — never a write in
+        progress. Pass 0 only when no other writer can be active."""
+        now = time.time()
         live: set[str] = set()
+        live_manifests: set[str] = set()
         for sid in self.snapshot_log():
-            for f in self.snapshot(sid).files:
+            s = self.snapshot(sid)
+            for f in s.files:
                 live.add(f["path"])
+            live_manifests.update(s.manifest_paths())
         deleted: list[str] = []
+
+        def _old_enough(full: str) -> bool:
+            try:
+                return now - os.path.getmtime(full) >= older_than_seconds
+            except OSError:
+                return False
+
         if os.path.isdir(self.data_dir):
             for dirpath, _dirnames, filenames in os.walk(self.data_dir, topdown=False):
                 for name in filenames:
                     full = os.path.join(dirpath, name)
                     rel = os.path.relpath(full, self.root)
-                    if rel not in live:
+                    if rel not in live and _old_enough(full):
                         os.remove(full)
                         if not name.startswith((".", "_")):
                             deleted.append(rel)  # side-cars swept silently
                 if dirpath != self.data_dir and not os.listdir(dirpath):
                     os.rmdir(dirpath)
+        # manifests stranded by lost commit races accumulate under
+        # contention — same liveness + age rule
+        if os.path.isdir(self.meta_dir):
+            for name in os.listdir(self.meta_dir):
+                if not (name.startswith("m-") and name.endswith(".json")):
+                    continue
+                rel = f"metadata/{name}"
+                full = os.path.join(self.meta_dir, name)
+                if rel not in live_manifests and _old_enough(full):
+                    os.remove(full)
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return deleted
 

@@ -17,26 +17,35 @@ def build_session(
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    standalone: bool = True,
 ) -> SparkSession:
+    """``standalone=True`` (default): a self-contained local[N] session
+    (tests / bench / sandbox). ``standalone=False``: the launcher owns
+    master, parallelism sizing and local dirs (spark-submit to a real
+    cluster) — only engine-required confs and hadoop fixes are applied.
+    """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # over-partition 3x: stragglers cost up to a whole task's work when
     # partitions == cores; AQE coalesces the excess for free
     shuffle_partitions = shuffle_partitions or 3 * cpus
     b = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(3 * cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if standalone:
+        b = (
+            b.master(f"local[{cpus}]")
+            .config("spark.default.parallelism", str(3 * cpus))
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+            .config("spark.ui.enabled", "false")
+        )
     # shuffle/spill to tmpfs when available: the sandbox's single virtio
     # disk (~350 MB/s) serializes concurrent shuffle writers and masks
     # CPU scaling; a real cluster's per-executor local SSDs / S3
@@ -45,7 +54,11 @@ def build_session(
     # headroom (SPARK_GRAFT_TMPFS_MIN_FREE_GB, default 8) — shuffle on a
     # nearly-full RAM disk would otherwise fail mid-job where a disk
     # would merely slow down.
-    if os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE", "1") != "0" and os.path.isdir("/dev/shm"):
+    if (
+        standalone
+        and os.environ.get("SPARK_GRAFT_TMPFS_SHUFFLE", "1") != "0"
+        and os.path.isdir("/dev/shm")
+    ):
         import shutil as _sh
 
         min_free = float(os.environ.get("SPARK_GRAFT_TMPFS_MIN_FREE_GB", "8"))

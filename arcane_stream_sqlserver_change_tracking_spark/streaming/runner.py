@@ -87,6 +87,10 @@ class EngineOptions:
     retry_base_seconds: float = 0.1
     retry_scale_factor: float = 2.0
     retry_on_message_contents: tuple[str, ...] = ()
+    orphan_min_age_seconds: float = 3600.0  # in-flight guard for the
+                                  # orphan sweep: rename-free writes put
+                                  # uncommitted files on disk, so only
+                                  # old ones are sweep-eligible
     cache_batches: bool = True    # persist() each deduped batch: the
                                   # stats job and the merge-write job
                                   # share it (measured ~20% faster than
@@ -451,7 +455,9 @@ class CdcEngine:
             file_size_threshold_bytes=self.opts.compact_file_threshold_bytes
         )
         self.table.expire_snapshots(keep_last=self.opts.expire_keep_last)
-        self.table.remove_orphan_files()
+        self.table.remove_orphan_files(
+            older_than_seconds=self.opts.orphan_min_age_seconds
+        )
 
     # ------------------------------------------------------------------
     # reading the replicated state

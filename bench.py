@@ -99,7 +99,8 @@ def run_replay(spark, num_events: int, num_buckets: int = 32,
                 num_buckets=num_buckets,
                 max_events_per_batch=max(1, num_events // batches),
                 normalize_text_columns=("text",),
-                cache_serialized=bool(os.environ.get("SPARK_GRAFT_CACHE_SER")),
+                cache_serialized=os.environ.get("SPARK_GRAFT_CACHE_SER", "")
+                not in ("", "0"),
             ),
         )
         eng.bootstrap(TRANSCRIPT_PAYLOAD)

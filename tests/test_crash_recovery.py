@@ -53,7 +53,7 @@ def test_crash_between_write_and_commit(spark, lake_root):
     assert_tables_equal(sorted_pdf(eng.current_state(), OUT_COLS), state_before)
 
     # startup sweep removes exactly the garbage
-    deleted = table.remove_orphan_files()
+    deleted = table.remove_orphan_files(older_than_seconds=0)
     assert sorted(deleted) == sorted(e["path"] for e in orphan_entries)
 
     # resume: re-drain from the committed watermark converges to oracle

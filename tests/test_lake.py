@@ -115,7 +115,7 @@ def test_expire_snapshots_and_orphans(spark, lake_root):
     orphan = os.path.join(t.data_dir, "part-bogus-b00000-orphan.parquet")
     with open(orphan, "wb") as f:
         f.write(b"junk")
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_seconds=0)
     assert "data/part-bogus-b00000-orphan.parquet" in removed
     assert not os.path.exists(orphan)
     assert t.read().count() == 50
@@ -319,3 +319,91 @@ def test_manifest_stats_prune_files_on_sorted_column(spark, lake_root):
     assert t.read(where={"v": 10**9}).count() == 0
     # unknown-stats column: kept (no false pruning)
     assert len(t.read(where={"k": "key1"}).inputFiles()) == len(full.inputFiles())
+
+
+def test_crashed_winner_rolls_forward(spark, lake_root):
+    """A winner that crashed between publishing its snapshot file and
+    swinging the pointer must not wedge the table: the next committer
+    detects it, advances the pointer (roll-forward), raises
+    CommitConflictError, and a re-planned commit then succeeds."""
+    import json
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import (
+        CommitConflictError,
+        Snapshot,
+    )
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    base = t._require()
+
+    # simulate the crashed winner: snapshot 1 published, pointer NOT swung
+    crashed = Snapshot(
+        snapshot_id=1, parent_id=0, schema=base.schema,
+        properties=dict(base.properties),
+        watermark={"version": 7, "batch_seq": 1, "partitions": []},
+    )
+    crashed.timestamp_ms = 1
+    with open(os.path.join(t.meta_dir, t._manifest_name(1)), "w") as f:
+        f.write(crashed.to_json())
+    assert t._require().snapshot_id == 0  # pointer still at base
+
+    # next committer loses AND repairs
+    mine = Snapshot(
+        snapshot_id=1, parent_id=0, schema=base.schema,
+        properties=dict(base.properties),
+        watermark={"version": 8, "batch_seq": 1, "partitions": []},
+    )
+    with pytest.raises(CommitConflictError):
+        t._commit(mine, parent=base, new_by_bucket={})
+    # roll-forward happened: the crashed winner is now current
+    cur = t._require()
+    assert cur.snapshot_id == 1 and cur.watermark["version"] == 7
+    # re-plan against the new parent succeeds at id 2
+    t.set_watermark({"version": 8, "batch_seq": 2, "partitions": []})
+    assert t._require().snapshot_id == 2
+
+
+def test_orphan_sweep_spares_fresh_files(spark, lake_root):
+    """Rename-free writes put uncommitted files on disk before their
+    commit references them — the sweep must skip files younger than
+    older_than_seconds (a concurrent writer's in-flight batch)."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    in_flight = t._write_data_files(_df(spark, 50), snapshot_id=99)
+    assert in_flight
+    # default threshold: fresh files untouched
+    assert t.remove_orphan_files() == []
+    for e in in_flight:
+        assert os.path.exists(os.path.join(t.root, e["path"]))
+    # zero threshold (single-writer startup sweep): removed
+    deleted = t.remove_orphan_files(older_than_seconds=0)
+    assert sorted(deleted) == sorted(e["path"] for e in in_flight)
+
+
+def test_orphan_sweep_removes_stranded_manifests(spark, lake_root):
+    """Bucket manifests written by a lost commit race belong to no
+    snapshot and must be swept (same liveness + age rule)."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    t.append(_df(spark, 20))
+    stray = os.path.join(t.meta_dir, "m-s00000099-b00001-deadbeef.json")
+    with open(stray, "w") as f:
+        f.write('{"bucket": 1, "files": []}')
+    live_before = set(t._require().manifest_paths())
+    t.remove_orphan_files(older_than_seconds=0)
+    assert not os.path.exists(stray)
+    # live manifests untouched
+    for mp in live_before:
+        assert os.path.exists(os.path.join(t.root, mp))
+
+
+def test_where_prune_incomparable_type_keeps_files(spark, lake_root):
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=1, properties={"stats_columns": ["v"]})
+    t.append(_df(spark, 100).repartition(1), sort_within=["v"])
+    # probing a long-stat column with a string must not raise and must
+    # keep every file (conservative hint)
+    full = t.read()
+    kept = t.read(where={"v": "not-a-number"})
+    assert len(kept.inputFiles()) == len(full.inputFiles())

@@ -148,3 +148,45 @@ def test_windowed_agg_watermark_drops_late(spark, tmp_path):
     assert rows["2024-01-01 12:00:00"] == (1, 4.0)
     # 14:00 window still open (watermark 13:59) -> not emitted
     assert "2024-01-01 14:00:00" not in rows
+
+
+def test_sessionize_stream_multi_chunk_groups(spark, tmp_path):
+    """applyInPandasWithState delivers a key's rows as MULTIPLE Arrow
+    chunks in shuffle order; the fold must sort across all chunks, not
+    per chunk (forced here with a 2-row Arrow batch size)."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    # one user, 8 events inside one session, written in scrambled order
+    times = [
+        "2024-01-01 10:07:00", "2024-01-01 10:01:00", "2024-01-01 10:05:00",
+        "2024-01-01 10:00:00", "2024-01-01 10:06:00", "2024-01-01 10:02:00",
+        "2024-01-01 10:04:00", "2024-01-01 10:03:00",
+    ]
+    rows = [(i, 1, t, 1.0) for i, t in enumerate(times)]
+    # a later far-away event closes the session so it gets emitted
+    rows.append((99, 1, "2024-01-01 20:00:00", 1.0))
+    _write_chunk(spark, f"{land}/c1.parquet", rows)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        schema = spark.read.parquet(land).schema
+        stream = spark.readStream.schema(schema).parquet(land)
+        q = (
+            sessionize_stream(stream, gap_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("sess_chunks")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    got = spark.sql("select * from sess_chunks").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert str(r["session_start"]) == "2024-01-01 10:00:00"
+    assert str(r["session_end"]) == "2024-01-01 10:07:00"
+    assert r["n_events"] == 8
