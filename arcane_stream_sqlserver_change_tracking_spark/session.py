@@ -18,11 +18,19 @@ def build_session(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
     standalone: bool = True,
+    master: str | None = None,
 ) -> SparkSession:
     """``standalone=True`` (default): a self-contained local[N] session
     (tests / bench / sandbox). ``standalone=False``: the launcher owns
     master, parallelism sizing and local dirs (spark-submit to a real
     cluster) — only engine-required confs and hadoop fixes are applied.
+
+    ``master`` overrides the standalone master URL — used by
+    scripts/scaling_bench.py to run ``local-cluster[N,cores,memMB]``
+    (real separate Executor JVMs, own heap/GC each) so the N→4N
+    scaling-efficiency criterion is evidenced against executor
+    processes rather than threads sharing one JVM. ``cpus`` must then
+    equal the cluster's total task slots (N*cores).
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     # over-partition 3x: stragglers cost up to a whole task's work when
@@ -41,11 +49,25 @@ def build_session(
     )
     if standalone:
         b = (
-            b.master(f"local[{cpus}]")
+            b.master(master or f"local[{cpus}]")
             .config("spark.default.parallelism", str(3 * cpus))
             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
             .config("spark.ui.enabled", "false")
         )
+        if master and master.startswith("local-cluster"):
+            # executor JVMs are separate processes: ship the repo on
+            # PYTHONPATH for pandas-UDF workers (spark-submit --py-files
+            # equivalent), size the executor heap to the worker's
+            # capacity (default would be 1g regardless of the
+            # local-cluster[N,c,memMB] grant), and keep logging quiet
+            repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            mem_mb = master.rstrip("]").rsplit(",", 1)[-1].strip()
+            b = (
+                b.config("spark.executorEnv.PYTHONPATH", repo_root)
+                .config("spark.executor.memory", f"{mem_mb}m")
+                .config("spark.executor.extraJavaOptions",
+                        "-Dlog4j.configurationLevel=ERROR")
+            )
     # shuffle/spill to tmpfs when available: the sandbox's single virtio
     # disk (~350 MB/s) serializes concurrent shuffle writers and masks
     # CPU scaling; a real cluster's per-executor local SSDs / S3
@@ -66,6 +88,12 @@ def build_session(
             local_dir = "/dev/shm/spark-local"
             os.makedirs(local_dir, exist_ok=True)
             b = b.config("spark.local.dir", local_dir)
+            # local-cluster workers ignore spark.local.dir (the cluster
+            # manager owns it) but are forked from this process and
+            # inherit SPARK_LOCAL_DIRS — set it so executor shuffle
+            # files land on tmpfs too
+            if master and master.startswith("local-cluster"):
+                os.environ["SPARK_LOCAL_DIRS"] = local_dir
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

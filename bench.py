@@ -144,10 +144,15 @@ def main() -> None:
                     help="fixed split/shuffle partition count; 0 = 3x cpus. "
                          "scaling_bench pins this so both levels run the identical job")
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--master", default=None,
+                    help="override master URL, e.g. local-cluster[4,2,8192] "
+                         "(separate executor JVMs); --cpus must equal total "
+                         "task slots (N*cores)")
     args = ap.parse_args()
 
     parts = args.partitions or 3 * args.cpus
-    spark = build_session(cpus=args.cpus, shuffle_partitions=parts)
+    spark = build_session(cpus=args.cpus, shuffle_partitions=parts,
+                          master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
 
     if args.replay_only:

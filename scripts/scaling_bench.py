@@ -27,25 +27,58 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cpus: int, events: int, repeats: int, batches: int = 2) -> dict:
+#: cores reserved for the driver in --cluster mode, constant at both
+#: levels — models a real cluster's dedicated driver node (the thing
+#: that does NOT scale with executor count)
+DRIVER_CORES = 2
+
+
+def run_level(cpus: int, events: int, repeats: int, batches: int = 2,
+              executors: int = 0, exec_cores: int = 2,
+              exec_mem_mb: int = 8192) -> dict:
     """Pin the whole process tree (JVM task threads AND its GC/shuffle
     IO/Python-worker auxiliary threads) to exactly ``cpus`` physical
     cores via taskset — local[N] alone lets auxiliary threads spill
     onto the host's other cores, which inflates small-N throughput and
-    understates scaling."""
+    understates scaling.
+
+    ``executors > 0``: run on ``local-cluster[executors,exec_cores,
+    exec_mem_mb]`` — real separate Executor JVM processes, each with
+    its own heap/GC/allocator (the resources BENCH.md's round-2
+    decomposition blames for the single-JVM residual). The pin budget
+    is executors*exec_cores task cores + a CONSTANT ``DRIVER_CORES``
+    allowance at both levels, mirroring a real deployment where the
+    driver node does not scale with the executor fleet."""
     best = None
     for i in range(repeats):
-        proc = subprocess.run(
-            ["taskset", "-c", f"0-{cpus - 1}",
-             sys.executable, os.path.join(REPO, "bench.py"),
-             "--replay-only", "--cpus", str(cpus), "--events", str(events),
-             "--batches", str(batches), "--partitions", "32"],
-            capture_output=True, text=True, cwd=REPO,
-            env={**os.environ, "SPARK_DRIVER_MEMORY": "48g"},
-        )
-        line = proc.stdout.strip().splitlines()[-1]
-        out = json.loads(line)
-        print(f"  local[{cpus}] run {i + 1}/{repeats}: "
+        if executors:
+            cpus = executors * exec_cores
+            pin = cpus + DRIVER_CORES
+            cmd = ["taskset", "-c", f"0-{pin - 1}",
+                   sys.executable, os.path.join(REPO, "bench.py"),
+                   "--replay-only", "--cpus", str(cpus),
+                   "--master", f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]",
+                   "--events", str(events),
+                   "--batches", str(batches), "--partitions", "32"]
+            env = {**os.environ, "SPARK_DRIVER_MEMORY": "16g"}
+            label = f"local-cluster[{executors},{exec_cores},{exec_mem_mb}]"
+        else:
+            cmd = ["taskset", "-c", f"0-{cpus - 1}",
+                   sys.executable, os.path.join(REPO, "bench.py"),
+                   "--replay-only", "--cpus", str(cpus), "--events", str(events),
+                   "--batches", str(batches), "--partitions", "32"]
+            env = {**os.environ, "SPARK_DRIVER_MEMORY": "48g"}
+            label = f"local[{cpus}]"
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO,
+                              env=env)
+        try:
+            line = proc.stdout.strip().splitlines()[-1]
+            out = json.loads(line)
+        except (IndexError, json.JSONDecodeError):
+            print(proc.stdout[-2000:], file=sys.stderr)
+            print(proc.stderr[-2000:], file=sys.stderr)
+            raise
+        print(f"  {label} run {i + 1}/{repeats}: "
               f"{out['events_per_sec']:.0f} events/sec ({out['seconds']}s)",
               file=sys.stderr)
         if best is None or out["events_per_sec"] > best["events_per_sec"]:
@@ -65,37 +98,62 @@ def main() -> None:
                     "throttles sustained load in multi-minute phases "
                     "(BENCH.md), and pairing keeps a slow phase from "
                     "hitting one level asymmetrically")
+    ap.add_argument("--cluster", action="store_true",
+                    help="use local-cluster[N,exec-cores,exec-mem] — "
+                    "separate Executor JVM processes (own heap/GC "
+                    "each) instead of threads in one JVM; --n is then "
+                    "the EXECUTOR count at the low level (4*--n at the "
+                    "high level)")
+    ap.add_argument("--exec-cores", type=int, default=2)
+    ap.add_argument("--exec-mem-mb", type=int, default=8192)
     args = ap.parse_args()
+
+    def level(n_units: int, repeats: int) -> dict:
+        if args.cluster:
+            return run_level(0, args.events, repeats, args.batches,
+                             executors=n_units, exec_cores=args.exec_cores,
+                             exec_mem_mb=args.exec_mem_mb)
+        return run_level(n_units, args.events, repeats, args.batches)
+
+    unit = "executors" if args.cluster else "cores"
 
     if args.paired:
         pairs = []
         for i in range(args.repeats):
             print(f"pair {i + 1}/{args.repeats}:", file=sys.stderr)
-            lo = run_level(args.n, args.events, 1, args.batches)
-            hi = run_level(4 * args.n, args.events, 1, args.batches)
+            lo = level(args.n, 1)
+            hi = level(4 * args.n, 1)
             eff = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
             pairs.append({"lo": lo, "hi": hi, "efficiency": round(eff, 3)})
             print(f"  -> pair efficiency {eff:.3f}", file=sys.stderr)
         best = max(pairs, key=lambda p: p["efficiency"])
+        effs = sorted(p["efficiency"] for p in pairs)
+        median = effs[len(effs) // 2] if len(effs) % 2 else round(
+            (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
         result = {
             "events": args.events,
-            "n_cores": args.n,
-            "n4_cores": 4 * args.n,
+            f"n_{unit}": args.n,
+            f"n4_{unit}": 4 * args.n,
+            "mode": ("local-cluster separate-executor-JVMs"
+                     if args.cluster else "local[N] threads"),
+            "exec_cores": args.exec_cores if args.cluster else None,
             "throughput_n": best["lo"]["events_per_sec"],
             "throughput_4n": best["hi"]["events_per_sec"],
             "seconds_n": best["lo"]["seconds"],
             "seconds_4n": best["hi"]["seconds"],
             "pair_efficiencies": [p["efficiency"] for p in pairs],
+            "median_efficiency": median,
             "scaling_efficiency": best["efficiency"],
             "pass": best["efficiency"] >= 0.8,
+            "pass_median": median >= 0.8,
             "batches": args.batches,
             "protocol": "paired-best",
         }
         print(json.dumps(result))
         return
 
-    lo = run_level(args.n, args.events, args.repeats, args.batches)
-    hi = run_level(4 * args.n, args.events, args.repeats, args.batches)
+    lo = level(args.n, args.repeats)
+    hi = level(4 * args.n, args.repeats)
     eff = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
     result = {
         "events": args.events,
