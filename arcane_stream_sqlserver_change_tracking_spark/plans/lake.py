@@ -215,6 +215,79 @@ class LakeTable:
     def _manifest_name(self, snapshot_id: int) -> str:
         return f"v{snapshot_id:08d}.json"
 
+    @staticmethod
+    def _pointer_id(name: str | None) -> int:
+        """Snapshot id encoded in a pointer value (``v00000042.json``);
+        -1 for a missing pointer (pre-create table)."""
+        return int(name[1:9]) if name else -1
+
+    #: a writer that dies holding the pointer lock must not wedge the
+    #: table forever; the critical section is two tiny file ops, so any
+    #: lock older than this is a crash artifact and is broken
+    POINTER_LOCK_STALE_SECONDS = 10.0
+
+    def _swing_pointer(self, name: str) -> bool:
+        """Conditionally advance ``_current`` to ``name`` — the table's
+        one CAS. The swing happens only if the pointer still names an
+        OLDER snapshot; a pointer at or past ``name`` is left untouched
+        (returns False). Check-then-swap runs under an exclusive lock
+        file (O_CREAT|O_EXCL), closing the race where a winner stalled
+        between publishing its snapshot file and swinging the pointer
+        resumes after a loser's roll-forward (or a later commit) and
+        would otherwise regress ``_current`` — readers must never see
+        the table go backwards. On an object store both halves collapse
+        into one conditional PUT (If-Match on the pointer's ETag /
+        generation); the lock file is the POSIX stand-in. A lock older
+        than ``POINTER_LOCK_STALE_SECONDS`` is a crashed holder and is
+        broken."""
+        pointer = os.path.join(self.meta_dir, "_current")
+        lock = pointer + ".lock"
+        target_id = self._pointer_id(name)
+        deadline = time.monotonic() + 30.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    age = time.time() - os.path.getmtime(lock)
+                except OSError:
+                    continue  # holder just released; retry immediately
+                if age > self.POINTER_LOCK_STALE_SECONDS:
+                    try:
+                        os.remove(lock)
+                    except OSError:
+                        pass
+                    continue
+                if time.monotonic() > deadline:
+                    raise CommitConflictError(
+                        f"pointer lock {lock} held past deadline"
+                    ) from None
+                time.sleep(0.005)
+        try:
+            try:
+                with open(pointer) as pf:
+                    current_id = self._pointer_id(pf.read().strip())
+            except FileNotFoundError:
+                current_id = -1
+            if current_id >= target_id:
+                return False
+            ptmp = os.path.join(
+                self.meta_dir, f"_current.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(ptmp, "w") as pf:
+                pf.write(name)
+                pf.flush()
+                os.fsync(pf.fileno())
+            os.replace(ptmp, pointer)
+            return True
+        finally:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
     def current_snapshot(self) -> Snapshot | None:
         pointer = os.path.join(self.meta_dir, "_current")
         if not os.path.exists(pointer):
@@ -347,32 +420,15 @@ class LakeTable:
             os.link(tmp, path)
         except FileExistsError:
             os.remove(tmp)
-            # roll-forward repair: if the pointer still names OUR parent,
-            # the existing snapshot file is either a concurrent winner
-            # that crashed before swinging the pointer or one about to
-            # swing it — its content is complete (link publishes whole
-            # files), so advancing the pointer to it is correct in both
-            # cases (idempotent for the live writer) and un-wedges the
-            # crashed-winner state; we still lose and must re-plan.
-            parent_name = (
-                self._manifest_name(snap.parent_id)
-                if snap.parent_id is not None else None
-            )
-            pointer = os.path.join(self.meta_dir, "_current")
-            try:
-                with open(pointer) as pf:
-                    current = pf.read().strip()
-            except FileNotFoundError:
-                current = None
-            if parent_name is not None and current == parent_name:
-                ptmp = os.path.join(
-                    self.meta_dir, f"_current.{uuid.uuid4().hex[:8]}.tmp"
-                )
-                with open(ptmp, "w") as pf:
-                    pf.write(name)
-                    pf.flush()
-                    os.fsync(pf.fileno())
-                os.replace(ptmp, pointer)
+            # roll-forward repair: the existing snapshot file is either
+            # a concurrent winner that crashed before swinging the
+            # pointer or one about to swing it — its content is complete
+            # (link publishes whole files), so advancing the pointer to
+            # it is correct in both cases (the live winner's own swing
+            # becomes a no-op: _swing_pointer never regresses) and
+            # un-wedges the crashed-winner state; we still lose and must
+            # re-plan.
+            self._swing_pointer(name)
             raise CommitConflictError(
                 f"snapshot {snap.snapshot_id} already committed by a "
                 f"concurrent writer (base {snap.parent_id}); re-read and "
@@ -380,14 +436,10 @@ class LakeTable:
             ) from None
         os.remove(tmp)
         # pointer swap — the one primitive that must be a CAS on object
-        # stores (conditional PUT / catalog row); atomic rename here,
-        # writer-unique temp name (no shared-tmp truncation race)
-        ptmp = os.path.join(self.meta_dir, f"_current.{uuid.uuid4().hex[:8]}.tmp")
-        with open(ptmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(ptmp, os.path.join(self.meta_dir, "_current"))
+        # stores (conditional PUT / catalog row); monotonic + locked so
+        # a stalled winner resuming after a roll-forward cannot regress
+        # the pointer past commits that built on this one
+        self._swing_pointer(name)
         return snap
 
     # ------------------------------------------------------------------

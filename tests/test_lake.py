@@ -364,6 +364,46 @@ def test_crashed_winner_rolls_forward(spark, lake_root):
     assert t._require().snapshot_id == 2
 
 
+def test_stalled_winner_cannot_regress_pointer(spark, lake_root):
+    """A winner stalled between publishing its snapshot file and the
+    pointer swing must not move ``_current`` backwards when it resumes
+    after a loser's roll-forward (and subsequent commits) advanced the
+    table past it: the swing is a monotonic CAS, so the resume is a
+    no-op and the newer commit stays visible."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+
+    # snapshots 1 and 2 commit normally
+    t.set_watermark({"version": 1, "batch_seq": 1, "partitions": []})
+    t.set_watermark({"version": 2, "batch_seq": 2, "partitions": []})
+    assert t._require().snapshot_id == 2
+
+    # the stalled winner of snapshot 1 finally executes its swing
+    assert t._swing_pointer(t._manifest_name(1)) is False
+    cur = t._require()
+    assert cur.snapshot_id == 2 and cur.watermark["version"] == 2
+
+    # and a legitimate forward swing still works
+    assert t._swing_pointer(t._manifest_name(2)) is False  # already there
+    t.set_watermark({"version": 3, "batch_seq": 3, "partitions": []})
+    assert t._require().snapshot_id == 3
+
+
+def test_stale_pointer_lock_is_broken(spark, lake_root):
+    """A lock file left by a crashed holder older than the staleness
+    window must not wedge commits."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    lock = os.path.join(t.meta_dir, "_current.lock")
+    with open(lock, "w"):
+        pass
+    old = 20.0
+    os.utime(lock, (os.path.getmtime(lock) - old, os.path.getmtime(lock) - old))
+    t.set_watermark({"version": 1, "batch_seq": 1, "partitions": []})
+    assert t._require().snapshot_id == 1
+    assert not os.path.exists(lock)
+
+
 def test_orphan_sweep_spares_fresh_files(spark, lake_root):
     """Rename-free writes put uncommitted files on disk before their
     commit references them — the sweep must skip files younger than
