@@ -14,8 +14,9 @@ Three forms, one semantics:
   batches + explicit GroupState), the Spark-native form of "operator
   the engine lacks": state = the open session per key, carried across
   micro-batches; closed sessions emit as soon as a later event proves
-  the gap. Use with ``withWatermark`` upstream so state for quiet keys
-  is eventually reclaimed via timeouts in production.
+  the gap, and — with ``watermark_delay`` set — when the event-time
+  watermark passes the gap window (``EventTimeTimeout``), so state for
+  quiet keys is reclaimed instead of growing with the key space.
 
 * :func:`windowed_event_counts` — tumbling event-time windows
   (``F.window``) with per-window aggregates; in streaming mode pair
@@ -130,23 +131,50 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+def _closed_sessions_frame(closed: list[tuple[int, int, int, int]]) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
+            "session_start": pd.to_datetime([c[1] for c in closed], unit="us"),
+            "session_end": pd.to_datetime([c[2] for c in closed], unit="us"),
+            "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
+        }
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    watermark_delay: str | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization with
     ``applyInPandasWithState``. State (one open session per key: start,
     last-seen, count) survives across micro-batches; a batch's events
     are processed in event-time order, closing and emitting a session
-    whenever the next event is more than ``gap_seconds`` later. Open
-    sessions stay in state (they may still grow).
+    whenever the next event is more than ``gap_seconds`` later.
+
+    **State lifecycle**: pass ``watermark_delay`` (e.g. ``"10 minutes"``)
+    in production — the operator then applies ``withWatermark`` on
+    ``ts_col`` and runs with ``EventTimeTimeout``: a key whose open
+    session the watermark has passed by more than the gap is *timed
+    out* — the session is closed, emitted, and its state removed, so
+    quiet keys on an unbounded key space do not accumulate state
+    forever. ``watermark_delay=None`` keeps ``NoTimeout`` (open sessions
+    held indefinitely) for bounded-key / test scenarios where the caller
+    manages the stream's lifetime.
+
+    Late-but-in-watermark events (cross-batch out-of-order) extend the
+    open session via min/max rather than moving its frontier backwards,
+    matching the batch :func:`sessionize` twin's global-sort semantics.
 
     This is the (c)-tier custom-operator pattern: Arrow-batched per-key
     state transition, no per-row Python beyond the per-event fold the
     semantics require, and the only shuffle is the groupBy on the key."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    evict = watermark_delay is not None
 
     def _fold(
         key: Tuple[Any, ...],
@@ -154,6 +182,14 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (uid,) = key
+        if evict and state.hasTimedOut:
+            # quiet key: the watermark passed last_event + gap with no
+            # new events, so the open session can never grow — close,
+            # emit, and reclaim its state
+            start_us, last_us, n = state.get
+            state.remove()
+            yield _closed_sessions_frame([(uid, start_us, last_us, n)])
+            return
         if state.exists:
             start_us, last_us, n = state.get
         else:
@@ -180,26 +216,38 @@ def sessionize_stream(
                 closed.append((uid, start_us, last_us, n))
                 start_us, last_us, n = t, t, 1
             else:
-                last_us, n = t, n + 1
+                # t may be BELOW last_us (late event from a prior batch,
+                # still inside the watermark): extend the session without
+                # regressing the frontier, else the next in-order event
+                # could spuriously split it
+                start_us = min(start_us, t)
+                last_us = max(last_us, t)
+                n += 1
         state.update((start_us, last_us, n))
-        if closed:
-            yield pd.DataFrame(
-                {
-                    "user_id": pd.Series([c[0] for c in closed], dtype="int64"),
-                    "session_start": pd.to_datetime(
-                        [c[1] for c in closed], unit="us"
-                    ),
-                    "session_end": pd.to_datetime(
-                        [c[2] for c in closed], unit="us"
-                    ),
-                    "n_events": pd.Series([c[3] for c in closed], dtype="int64"),
-                }
+        if evict:
+            # close the session when the watermark passes its gap window;
+            # Spark requires the timeout to sit above the current watermark
+            timeout_ms = last_us // 1_000 + gap_seconds * 1_000
+            state.setTimeoutTimestamp(
+                max(timeout_ms, state.getCurrentWatermarkMs() + 1)
             )
+        if closed:
+            yield _closed_sessions_frame(closed)
 
+    if evict:
+        # watermarks need TIMESTAMP (ltz); parquet sources land NTZ — a
+        # relabel under the UTC session tz
+        events = events.withColumn(
+            ts_col, F.col(ts_col).cast("timestamp")
+        ).withWatermark(ts_col, watermark_delay)
     return events.groupBy(user_col).applyInPandasWithState(
         _fold,
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )

@@ -150,6 +150,96 @@ def test_windowed_agg_watermark_drops_late(spark, tmp_path):
     assert "2024-01-01 14:00:00" not in rows
 
 
+def test_sessionize_stream_quiet_key_evicted_by_watermark(spark, tmp_path):
+    """With watermark_delay set, a key with NO further events must have
+    its open session closed (emitted) and its state removed purely by
+    watermark advance — the EventTimeTimeout path that keeps streaming
+    state bounded on an unbounded key space."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    # batch 1: user 1 and user 2 each open a session at 10:00
+    _write_chunk(spark, f"{land}/c1.parquet", [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 2, "2024-01-01 10:00:00", 1.0),
+    ])
+    # batch 2: only user 2 speaks, far later — advances the watermark to
+    # 22:59, past user 1's gap window (10:00 + 30 min). User 1's session
+    # must close via timeout alone; user 2's 10:00 session closes via
+    # the in-fold gap; user 2's 23:00 session stays open (not emitted).
+    _write_chunk(spark, f"{land}/c2.parquet", [
+        (3, 2, "2024-01-01 23:00:00", 1.0),
+    ])
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800, watermark_delay="1 minute")
+        .writeStream.format("memory")
+        .queryName("sess_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r["n_events"]
+        for r in spark.sql("select * from sess_evict").collect()
+    }
+    assert got[(1, "2024-01-01 10:00:00", "2024-01-01 10:00:00")] == 1
+    assert got[(2, "2024-01-01 10:00:00", "2024-01-01 10:00:00")] == 1
+    assert len(got) == 2
+
+
+def test_sessionize_stream_late_event_does_not_split(spark, tmp_path):
+    """A late-but-in-watermark event (t below the carried frontier) must
+    extend the open session, not regress last_us — otherwise the next
+    in-order event can spuriously split the session (diverging from the
+    batch twin)."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    # batch 1: session frontier at 10:20
+    _write_chunk(spark, f"{land}/c1.parquet", [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:20:00", 1.0),
+    ])
+    # batch 2: a LATE event at 09:55 (before the frontier, inside the
+    # session+gap) then an in-order event at 10:40. With the regression
+    # bug (last_us := 09:55) the 10:40 event would be >gap away and
+    # split; correct behavior keeps one session 09:55→10:40. The final
+    # far event closes it so it emits.
+    _write_chunk(spark, f"{land}/c2.parquet", [
+        (3, 1, "2024-01-01 09:55:00", 1.0),
+        (4, 1, "2024-01-01 10:40:00", 1.0),
+        (5, 1, "2024-01-01 20:00:00", 1.0),
+    ])
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_late").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert str(r["session_start"]) == "2024-01-01 09:55:00"
+    assert str(r["session_end"]) == "2024-01-01 10:40:00"
+    assert r["n_events"] == 4
+
+
 def test_sessionize_stream_multi_chunk_groups(spark, tmp_path):
     """applyInPandasWithState delivers a key's rows as MULTIPLE Arrow
     chunks in shuffle order; the fold must sort across all chunks, not
