@@ -157,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
             fetch_size=args.fetch_size,
         )
         wm = eng.current_watermark()
+        # retention guard: a watermark older than the server's min valid
+        # version means truncated change rows — fail (route to backfill)
+        # instead of silently applying an incomplete feed
+        src.check_retention(spark, wm)
         log = src.read_changes(spark, from_version=wm)
         results = eng.run_incremental(log)
         for r in results:

@@ -131,6 +131,12 @@ def lsh_signature_bands(
     num_bands`` sign bits. Docs agreeing on ALL bits of any band share a
     bucket. Pure Catalyst: the dots are ``aggregate(zip_with(...))``
     against literal plane arrays — JVM codegen, no Python."""
+    if num_planes % num_bands != 0:
+        raise ValueError(
+            f"num_planes ({num_planes}) must be divisible by num_bands "
+            f"({num_bands}) — trailing planes would be silently dropped "
+            f"and the signature would use fewer bits than requested"
+        )
     planes = hyperplanes(num_planes, dim)
     bits_per = num_planes // num_bands
     band_structs = []

@@ -69,6 +69,35 @@ def _bq(name: str) -> str:
     return f"[{name}]"
 
 
+class ChangeTrackingRetentionError(RuntimeError):
+    """The stored watermark predates CHANGE_TRACKING_MIN_VALID_VERSION:
+    SQL Server's CT retention has truncated change rows the stream never
+    consumed, so CHANGETABLE(CHANGES …, @watermark) would silently
+    return an INCOMPLETE feed and the replica would diverge. The only
+    correct recovery is a full backfill (S4), which re-reads the base
+    table and re-captures the version."""
+
+
+def validate_watermark_retention(
+    from_version: int, min_valid_version: Any
+) -> None:
+    """Pure retention guard (unit-testable without a live server).
+    ``min_valid_version`` is NULL when change tracking is not enabled on
+    the table — also fatal, since the feed query would fail anyway."""
+    if min_valid_version is None:
+        raise ChangeTrackingRetentionError(
+            "CHANGE_TRACKING_MIN_VALID_VERSION returned NULL — change "
+            "tracking is not enabled on the source table"
+        )
+    if int(from_version) < int(min_valid_version):
+        raise ChangeTrackingRetentionError(
+            f"stored watermark {int(from_version)} is below the server's "
+            f"min valid version {int(min_valid_version)}: the change log "
+            f"was truncated by CT retention; run a backfill "
+            f"(--mode backfill) to resynchronize"
+        )
+
+
 @dataclass
 class MsSqlSource:
     """Connection + entity config for one change-tracked source table
@@ -236,6 +265,16 @@ class MsSqlSource:
         opts = self.jdbc_options(sql)
         row = spark.read.format("jdbc").options(**opts).load().collect()[0]
         return row[0]
+
+    def check_retention(self, spark: SparkSession, from_version: int) -> None:
+        """Fail fast before polling when CT retention has truncated past
+        ``from_version`` (see :class:`ChangeTrackingRetentionError`) —
+        without this guard CHANGETABLE silently under-reports and the
+        replica diverges undetectably."""
+        validate_watermark_retention(
+            from_version,
+            self.scalar_query(spark, self.min_valid_version_query()),
+        )
 
 
 def to_changelog(raw: DataFrame) -> DataFrame:

@@ -178,3 +178,18 @@ def test_ivf_topk_accepts_precomputed_assignment(spark, sf_dir):
     assign = ivf_assign(emb, centroid_stride=50)
     pre = ivf_topk(emb, F.col("vec_id") < 5, k=3, nprobe=2, assign=assign).collect()
     assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
+
+
+def test_lsh_bands_reject_indivisible_planes(spark):
+    """num_planes not divisible by num_bands would silently drop the
+    trailing hyperplanes — must raise instead."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        lsh_signature_bands,
+    )
+
+    df = spark.range(1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("vec"),
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_signature_bands(df, num_planes=50, num_bands=16, dim=2)

@@ -160,3 +160,20 @@ def test_adapter_feeds_engine_end_to_end(spark, lake_root, sf_dir):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_retention_guard():
+    """Watermark below CHANGE_TRACKING_MIN_VALID_VERSION (or CT disabled
+    → NULL) must fail fast instead of silently applying an incomplete
+    CHANGETABLE feed."""
+    from arcane_stream_sqlserver_change_tracking_spark.sources.mssql import (
+        ChangeTrackingRetentionError,
+        validate_watermark_retention,
+    )
+
+    validate_watermark_retention(100, 100)   # exactly at the edge: ok
+    validate_watermark_retention(101, 100)
+    with pytest.raises(ChangeTrackingRetentionError, match="truncated"):
+        validate_watermark_retention(99, 100)
+    with pytest.raises(ChangeTrackingRetentionError, match="not enabled"):
+        validate_watermark_retention(99, None)
