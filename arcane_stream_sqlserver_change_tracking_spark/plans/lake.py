@@ -95,6 +95,39 @@ from ..functions.keys import BUCKET_HASH_NAME, MERGE_KEY_COL, bucket_expr
 _BUCKET = "__bucket"
 
 
+def _read_footer_stats(
+    full_path: str, cols: list[str]
+) -> tuple[int, dict[str, list[Any]]]:
+    """Row count (+ min/max for ``cols``) from one parquet footer — no
+    data pages touched. Module-level so executor tasks can run it
+    without serializing the LakeTable."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    stats: dict[str, list[Any]] = {}
+    if cols:
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for c in cols:
+            i = names.get(c)
+            if i is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(i).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                mn, mx = s.min, s.max
+                if not isinstance(mn, (str, int, float)):
+                    lo = hi = None
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if lo is not None:
+                stats[c] = [lo, hi]
+    return md.num_rows, stats
+
+
 class BucketHashMismatchError(RuntimeError):
     """The table on disk was bucketed with a different hash function than
     this engine version writes — merging would silently duplicate keys
@@ -651,15 +684,26 @@ class LakeTable:
         )
         return entries
 
+    #: commits touching more files than this collect footer stats with a
+    #: distributed Spark job instead of driver threads — the driver must
+    #: never do O(files) IO per commit (the 100 TB failure mode; a 10k-file
+    #: commit against an object store would serialize thousands of GETs
+    #: through one box)
+    DRIVER_FOOTER_READ_LIMIT = 64
+
     def _attach_row_counts(
         self, entries: list[dict[str, Any]], stats_columns: list[str] | None = None
     ) -> None:
         """Per-file row counts (+ optional per-column min/max) from
-        parquet footers — no data scan, and footers are opened
-        concurrently (they are independent ~KB reads; round 1 read them
-        serially in the driver). On an object store you would instead
-        carry counts/stats from the write tasks' metrics; the manifest
-        schema is the contract, not this collection path.
+        parquet footers — no data scan. Small commits (≤
+        ``DRIVER_FOOTER_READ_LIMIT`` files) read footers with driver
+        threads (independent ~KB reads, cheaper than a job); larger
+        commits run one Spark job that fans the footer reads out across
+        the executors (``_footer_stats_job``), so commit metadata IO
+        scales with the cluster, not the driver. (Iceberg's Spark writer
+        gets the same numbers from write-task results; parquet footers
+        are the PySpark-reachable equivalent — same bytes, read where
+        they were just written.)
 
         ``stats_columns`` (table property of the same name) records
         min/max per file for string/number columns — the manifest-level
@@ -667,35 +711,23 @@ class LakeTable:
         hash merge key, valuable for ``sort_within`` columns: a sorted
         write clusters each file's range, so point/range reads prune to
         a few files per bucket without opening any footer at plan time."""
-        import pyarrow.parquet as pq
-
         cols = stats_columns or []
+        if len(entries) > self.DRIVER_FOOTER_READ_LIMIT:
+            stats_by_path = self._footer_stats_job(
+                [e["path"] for e in entries], cols
+            )
+            for e in entries:
+                rows, stats = stats_by_path[e["path"]]
+                e["rows"] = rows
+                if stats:
+                    e["stats"] = stats
+            return
 
         def _count(e: dict[str, Any]) -> None:
-            md = pq.ParquetFile(os.path.join(self.root, e["path"])).metadata
-            e["rows"] = md.num_rows
-            if not cols:
-                return
-            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            stats: dict[str, list[Any]] = {}
-            for c in cols:
-                i = names.get(c)
-                if i is None:
-                    continue
-                lo = hi = None
-                for rg in range(md.num_row_groups):
-                    s = md.row_group(rg).column(i).statistics
-                    if s is None or not s.has_min_max:
-                        lo = hi = None
-                        break
-                    mn, mx = s.min, s.max
-                    if not isinstance(mn, (str, int, float)):
-                        lo = hi = None
-                        break
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-                if lo is not None:
-                    stats[c] = [lo, hi]
+            rows, stats = _read_footer_stats(
+                os.path.join(self.root, e["path"]), cols
+            )
+            e["rows"] = rows
             if stats:
                 e["stats"] = stats
 
@@ -705,6 +737,43 @@ class LakeTable:
             return
         with ThreadPoolExecutor(max_workers=min(16, len(entries))) as ex:
             list(ex.map(_count, entries))
+
+    def _footer_stats_job(
+        self, paths: list[str], cols: list[str]
+    ) -> dict[str, tuple[int, dict[str, list[Any]]]]:
+        """One Spark job reading every new file's parquet footer on the
+        executors (mapInPandas over the path list — each task opens the
+        footers of its slice). Returns {rel_path: (rows, stats)}."""
+        import pandas as pd
+
+        root = self.root
+        want = list(cols)
+
+        def read_slice(batches):
+            for pdf in batches:
+                out = []
+                for rel in pdf["path"]:
+                    rows, stats = _read_footer_stats(
+                        os.path.join(root, rel), want
+                    )
+                    out.append((rel, rows, json.dumps(stats)))
+                yield pd.DataFrame(out, columns=["path", "rows", "stats"])
+
+        n_slices = max(1, min(len(paths) // 16, 256))
+        df = self.spark.createDataFrame(
+            [(p,) for p in paths], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(n_slices)
+        result = df.mapInPandas(
+            read_slice,
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("rows", T.LongType()),
+                    T.StructField("stats", T.StringType()),
+                ]
+            ),
+        ).collect()
+        return {r["path"]: (int(r["rows"]), json.loads(r["stats"])) for r in result}
 
     @staticmethod
     def _group_by_bucket(

@@ -53,6 +53,13 @@ def build_session(
             .config("spark.default.parallelism", str(3 * cpus))
             .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
             .config("spark.ui.enabled", "false")
+            # single host, tmpfs-backed storage: every location is
+            # equally "local", so the default 3s-per-level locality wait
+            # only inserts idle quantums (measured: cache-scan tasks in
+            # local-cluster mode blocking 3-8s waiting for the executor
+            # that holds the block). A real cluster keeps the default —
+            # this is standalone/sandbox-only.
+            .config("spark.locality.wait", "0")
         )
         if master and master.startswith("local-cluster"):
             # executor JVMs are separate processes: ship the repo on

@@ -77,6 +77,18 @@ class EngineOptions:
     normalize_impl: str = "expr"  # "expr" (JVM codegen) | "pandas" (Arrow UDF, adds NFC)
     field_filter: FieldFilter = field(default_factory=FieldFilter)
     broadcast_threshold_rows: int = 2_000_000     # batch keys broadcast below this
+    merge_join: str = "auto"      # "auto": broadcast the batch key set
+                                  # below broadcast_threshold_rows, else
+                                  # shuffle; "broadcast"/"shuffle" force.
+                                  # Broadcast keeps the touched-bucket
+                                  # rewrite shuffle-free (table data
+                                  # never crosses the network — the
+                                  # 100 TB default); shuffle avoids
+                                  # shipping a large key set to every
+                                  # executor but Exchanges the touched
+                                  # buckets' full content per batch —
+                                  # only sensible when batches are huge
+                                  # relative to the table
     max_rows_per_file: int = 1_000_000            # maxRowsPerFile analog (CRD:72-75)
     sort_within: tuple[str, ...] = ()             # sortedBy analog (docs/crd.md:117-119)
     maintenance_interval_batches: int = 60        # reference default (yaml-example:49-52)
@@ -253,7 +265,10 @@ class CdcEngine:
         target_cols = [f.name for f in evolved.fields]
 
         existing = self.table.read(buckets=touched)
-        broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
+        if self.opts.merge_join == "auto":
+            broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
+        else:
+            broadcast = self.opts.merge_join == "broadcast"
         plan = plan_merge(existing, deduped, target_cols, broadcast_keys=broadcast)
         # enforce exact evolved types (lit(None) columns are NullType);
         # keep retained and upserts separate: retained rows come from

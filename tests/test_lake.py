@@ -2,6 +2,7 @@
 maintenance (compaction / expiry / orphan sweep) — the K1/K2/K5/K7
 surface of the reference (SURVEY.md §2.9)."""
 
+import json
 import os
 
 import pytest
@@ -447,3 +448,64 @@ def test_where_prune_incomparable_type_keeps_files(spark, lake_root):
     full = t.read()
     kept = t.read(where={"v": "not-a-number"})
     assert len(kept.inputFiles()) == len(full.inputFiles())
+
+
+def test_large_commit_stats_collected_by_executor_job(spark, lake_root, monkeypatch):
+    """Commits touching more files than DRIVER_FOOTER_READ_LIMIT must not
+    open any parquet footer in the driver process: the stats come from a
+    distributed job. Pinned by patching the reader to raise under the
+    driver's pid — the patched closure ships to executor python workers
+    too, but those run under different pids and delegate to the real
+    reader."""
+    from arcane_stream_sqlserver_change_tracking_spark.plans import lake as lake_mod
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=8)
+    monkeypatch.setattr(LakeTable, "DRIVER_FOOTER_READ_LIMIT", 4)
+
+    driver_pid = os.getpid()
+    real_reader = lake_mod._read_footer_stats
+
+    def _no_driver_reads(path, cols):
+        if os.getpid() == driver_pid:
+            raise AssertionError(f"driver-side footer read of {path}")
+        return real_reader(path, cols)
+
+    monkeypatch.setattr(lake_mod, "_read_footer_stats", _no_driver_reads)
+    t.append(_df(spark, 500), max_rows_per_file=20)
+    snap = t.current_snapshot()
+    files = snap.files
+    assert len(files) > 4
+    assert all("rows" in f and f["rows"] > 0 for f in files)
+    assert sum(f["rows"] for f in files) == 500
+
+
+def test_distributed_and_driver_footer_stats_agree(spark, lake_root, monkeypatch):
+    """Same entries either way: min/max stats and row counts from the
+    executor job match the driver-thread path byte for byte."""
+    t = LakeTable(spark, lake_root)
+    t.create(
+        SCHEMA, num_buckets=4,
+        properties={"stats_columns": ["v"]},
+    )
+    t.append(_df(spark, 300), max_rows_per_file=25, sort_within=["v"])
+    driver_files = {f["path"]: f for f in t.current_snapshot().files}
+
+    monkeypatch.setattr(LakeTable, "DRIVER_FOOTER_READ_LIMIT", 0)
+    t2 = LakeTable(spark, lake_root + "_b")
+    t2.create(SCHEMA, num_buckets=4, properties={"stats_columns": ["v"]})
+    t2.append(_df(spark, 300), max_rows_per_file=25, sort_within=["v"])
+    job_files = {f["path"]: f for f in t2.current_snapshot().files}
+
+    assert sum(f["rows"] for f in driver_files.values()) == 300
+    assert sum(f["rows"] for f in job_files.values()) == 300
+    d_stats = sorted(
+        (f["rows"], json.dumps(f.get("stats"), sort_keys=True))
+        for f in driver_files.values()
+    )
+    j_stats = sorted(
+        (f["rows"], json.dumps(f.get("stats"), sort_keys=True))
+        for f in job_files.values()
+    )
+    assert d_stats == j_stats
+    assert any(f.get("stats", {}).get("v") for f in job_files.values())
