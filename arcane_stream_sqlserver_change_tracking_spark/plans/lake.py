@@ -134,6 +134,12 @@ class BucketHashMismatchError(RuntimeError):
     (touched-bucket pruning would miss their existing rows)."""
 
 
+class BackfillStateError(RuntimeError):
+    """The persisted backfill state does not match the requested
+    operation (different backfill in progress, or commit of an
+    incomplete/unknown backfill)."""
+
+
 class CommitConflictError(RuntimeError):
     """Another writer committed since this commit's base snapshot was
     read (optimistic concurrency, Iceberg-style). The losing writer must
@@ -621,6 +627,7 @@ class LakeTable:
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
         properties: dict[str, Any] | None = None,
+        dirname: str | None = None,
     ) -> list[dict[str, Any]]:
         """One write job for any mix of aligned/unaligned parts: each
         unaligned part is bucket-repartitioned, aligned parts pass
@@ -641,7 +648,7 @@ class LakeTable:
         # cluster by bucket inside each task so the partitioned writer
         # keeps one open file at a time
         out = out.sortWithinPartitions(_BUCKET, *(sort_within or []))
-        snap_dirname = f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}"
+        snap_dirname = dirname or f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.data_dir, snap_dirname)
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
@@ -822,6 +829,7 @@ class LakeTable:
         max_rows_per_file: int | None = None,
         sort_within: list[str] | None = None,
         parts: list[tuple[DataFrame, bool]] | None = None,
+        base: "Snapshot | None" = None,
     ) -> Snapshot:
         """Commit a copy-on-write replacement of the given buckets:
         untouched buckets keep their parent manifests (no metadata
@@ -832,8 +840,25 @@ class LakeTable:
         ``parts`` — a list of ``(dataframe, aligned)`` pairs written
         into the same snapshot; ``aligned=True`` parts (rows re-read
         from this table's own per-bucket files, e.g. the retained side
-        of a MERGE) skip the bucket shuffle entirely."""
+        of a MERGE) skip the bucket shuffle entirely.
+
+        ``base`` is the snapshot the replacement CONTENT was planned
+        against (Iceberg-style commit validation): a replacement's
+        retained rows are re-reads of the base's files, so committing it
+        on top of any OTHER snapshot silently discards that snapshot's
+        changes to the touched buckets — a lost update the snapshot-id
+        CAS alone cannot see (a late committer re-reads the pointer and
+        builds on the winner with no id collision). When ``base`` is
+        given and the current snapshot has moved past it, the commit
+        fails with CommitConflictError BEFORE any files are written and
+        the caller must re-plan against the new state."""
         snap = self._require()
+        if base is not None and snap.snapshot_id != base.snapshot_id:
+            raise CommitConflictError(
+                f"table advanced from snapshot {base.snapshot_id} to "
+                f"{snap.snapshot_id} since this replacement was planned; "
+                f"re-read and re-apply"
+            )
         new_id = snap.snapshot_id + 1
         props = dict(snap.properties)
         new_schema = snap.schema
@@ -902,6 +927,137 @@ class LakeTable:
             watermark=watermark, lineage=snap.lineage,
         )
         return self._commit(new, parent=snap, new_by_bucket={})
+
+    # ------------------------------------------------------------------
+    # restartable backfill (reference T4: ShardStagingProcessor +
+    # DefaultBackfillStateManager, main.scala:94-101 — shard-level
+    # staged progress persisted so a crashed full reload resumes
+    # without redoing completed shards; staging survives restarts
+    # during backfill, docs/crd.md:45-47)
+    # ------------------------------------------------------------------
+    BACKFILL_STATE_NAME = "_backfill.json"
+
+    def backfill_state(self) -> dict[str, Any] | None:
+        """The persisted in-progress backfill record, or None. Shape:
+        ``{"backfill_id", "total_shards", "completed": {shard: entries}}``."""
+        path = os.path.join(self.meta_dir, self.BACKFILL_STATE_NAME)
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _write_backfill_state(self, state: dict[str, Any]) -> None:
+        path = os.path.join(self.meta_dir, self.BACKFILL_STATE_NAME)
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def stage_backfill_shard(
+        self,
+        df: DataFrame,
+        backfill_id: str,
+        shard: int,
+        total_shards: int,
+        max_rows_per_file: int | None = None,
+        sort_within: list[str] | None = None,
+    ) -> list[dict[str, Any]]:
+        """Write one backfill shard's files (invisible — no snapshot
+        references them yet) and record its completion in the backfill
+        state file. A shard already recorded as completed is skipped
+        and its recorded entries returned — the resume path. The state
+        write is atomic, so a crash leaves either "shard done, files
+        live-pinned" or "shard absent, files orphan-swept later"; the
+        data files themselves never need cleanup on the happy path."""
+        state = self.backfill_state()
+        if state is None:
+            state = {
+                "backfill_id": backfill_id,
+                "total_shards": total_shards,
+                "completed": {},
+            }
+        elif state["backfill_id"] != backfill_id or state["total_shards"] != total_shards:
+            raise BackfillStateError(
+                f"in-progress backfill {state['backfill_id']!r} "
+                f"({state['total_shards']} shards) does not match requested "
+                f"{backfill_id!r} ({total_shards} shards); finish it or "
+                f"abort_backfill() first"
+            )
+        key = str(shard)
+        if key in state["completed"]:
+            return state["completed"][key]
+        entries = self._write_parts(
+            [(df, False)],
+            snapshot_id=0,
+            max_rows_per_file=max_rows_per_file,
+            sort_within=sort_within,
+            properties=self._require().properties,
+            dirname=f"bf-{backfill_id}-s{shard:04d}-{uuid.uuid4().hex[:8]}",
+        )
+        state["completed"][key] = entries
+        self._write_backfill_state(state)
+        return entries
+
+    def commit_backfill(
+        self,
+        backfill_id: str,
+        watermark: dict[str, Any] | None = None,
+        lineage: list[dict[str, Any]] | None = None,
+        schema: T.StructType | None = None,
+    ) -> Snapshot:
+        """Atomically publish a completed sharded backfill as one
+        overwrite snapshot (every bucket redefined from the staged
+        shards), then clear the state file. Re-running after a crash
+        between commit and state removal re-commits the same content —
+        idempotent in final state."""
+        state = self.backfill_state()
+        if state is None or state["backfill_id"] != backfill_id:
+            raise BackfillStateError(f"no staged backfill {backfill_id!r}")
+        missing = [
+            s for s in range(state["total_shards"])
+            if str(s) not in state["completed"]
+        ]
+        if missing:
+            raise BackfillStateError(
+                f"backfill {backfill_id!r} incomplete: shards {missing} not staged"
+            )
+        snap = self._require()
+        entries = [e for es in state["completed"].values() for e in es]
+        by_bucket = self._group_by_bucket(entries)
+        for b in snap.bucket_manifests:
+            by_bucket.setdefault(b, [])
+        props = dict(snap.properties)
+        new_schema = snap.schema
+        if schema is not None and schema.json() != snap.schema.json():
+            field_ids = dict(props.get("field_ids", {}))
+            max_id = int(props.get("max_field_id", len(field_ids)))
+            for f in schema.fields:
+                if f.name not in field_ids:
+                    max_id += 1
+                    field_ids[f.name] = max_id
+            props["field_ids"] = field_ids
+            props["max_field_id"] = max_id
+            new_schema = schema
+        new = Snapshot(
+            snapshot_id=snap.snapshot_id + 1, parent_id=snap.snapshot_id,
+            schema=new_schema, properties=props,
+            watermark=watermark if watermark is not None else snap.watermark,
+            lineage=lineage or [],
+        )
+        committed = self._commit(new, parent=None, new_by_bucket=by_bucket)
+        self.abort_backfill()  # staged files are now snapshot-referenced
+        return committed
+
+    def abort_backfill(self) -> None:
+        """Drop the backfill state record; staged files it pinned become
+        ordinary orphans for the age-guarded sweep."""
+        try:
+            os.remove(os.path.join(self.meta_dir, self.BACKFILL_STATE_NAME))
+        except FileNotFoundError:
+            pass
 
     # ------------------------------------------------------------------
     # maintenance (reference K7: OPTIMIZE / expire_snapshots /
@@ -986,6 +1142,15 @@ class LakeTable:
         now = time.time()
         live: set[str] = set()
         live_manifests: set[str] = set()
+        # staged backfill shards are not snapshot-referenced yet but
+        # MUST survive the sweep — they are the resume state of a
+        # crashed full reload (reference keeps staging tables alive
+        # during backfill, docs/crd.md:45-47)
+        bf = self.backfill_state()
+        if bf:
+            for es in bf.get("completed", {}).values():
+                for e in es:
+                    live.add(e["path"])
         for sid in self.snapshot_log():
             s = self.snapshot(sid)
             for f in s.files:
@@ -1023,10 +1188,20 @@ class LakeTable:
         shutil.rmtree(self.staging_dir, ignore_errors=True)
         return deleted
 
-    def analyze(self) -> dict[str, Any]:
+    def analyze(self, included_columns: list[str] | None = None) -> dict[str, Any]:
         """Table statistics (reference ANALYZE, docs/crd.md:168-172):
         row/byte/file counts per bucket straight from the manifest-list
-        aggregates — no scan, no manifest opens."""
+        aggregates — no scan, no manifest opens.
+
+        ``included_columns`` mirrors the reference's
+        ``targetAnalyzeSettings.includedColumns``
+        (crd-microsoft-sql-server-stream.yaml:285-301): for each named
+        column, one table scan collects approximate NDV (HyperLogLog++
+        sketch — mergeable, so the agg is map-side partial like any
+        other), null count, min and max. All columns share the SINGLE
+        scan/aggregation (4·k agg expressions, one job, no shuffle
+        beyond the final 1-row reduce), which is the only shape that
+        survives 100 TB — never one scan per column."""
         snap = self._require()
         ms = snap.bucket_manifests.values()
         stats = {
@@ -1036,6 +1211,36 @@ class LakeTable:
             "bytes": sum(m["bytes"] for m in ms),
             "buckets": sum(1 for m in ms if m["files"]),
         }
+        if included_columns:
+            known = set(snap.schema.fieldNames())
+            unknown = sorted(set(included_columns) - known)
+            if unknown:
+                raise ValueError(
+                    f"includedColumns not in table schema: {unknown}"
+                )
+            aggs = []
+            for c in included_columns:
+                aggs += [
+                    F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                    F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
+                    F.min(c).alias(f"{c}__min"),
+                    F.max(c).alias(f"{c}__max"),
+                ]
+            row = self.read(buckets=None).agg(*aggs).collect()[0]
+
+            def _safe(v: Any) -> Any:
+                # snapshot properties are JSON — stringify exotic types
+                return v if v is None or isinstance(v, (str, int, float, bool)) else str(v)
+
+            stats["columns"] = {
+                c: {
+                    "ndv": int(row[f"{c}__ndv"]),
+                    "null_count": int(row[f"{c}__nulls"]),
+                    "min": _safe(row[f"{c}__min"]),
+                    "max": _safe(row[f"{c}__max"]),
+                }
+                for c in included_columns
+            }
         new = Snapshot(
             snapshot_id=snap.snapshot_id + 1, parent_id=snap.snapshot_id,
             schema=snap.schema,

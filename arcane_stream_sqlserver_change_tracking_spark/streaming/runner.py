@@ -52,7 +52,7 @@ from ..operators.dedup import latest_change_per_key
 from ..operators.fields import FieldFilter
 from ..operators.merge import plan_merge
 from ..operators.schema_evolution import diff_schemas
-from ..plans.lake import LakeTable
+from ..plans.lake import CommitConflictError, LakeTable
 from ..sources.incremental import chunk_filter, incremental_read, version_chunks
 
 _BUCKET = "__b"
@@ -99,6 +99,15 @@ class EngineOptions:
     retry_base_seconds: float = 0.1
     retry_scale_factor: float = 2.0
     retry_on_message_contents: tuple[str, ...] = ()
+    retry_mode: str = "never"     # reference queryRetryMode (CRD:195-210,
+                                  # default never): "never" | "always" |
+                                  # "backfillOnly". Gates the COMMIT-
+                                  # CONFLICT re-plan loop: a loser of an
+                                  # optimistic-concurrency race re-reads
+                                  # the table and re-applies the staged
+                                  # batch (dedup result stays cached —
+                                  # only the anti-join + write re-run)
+                                  # up to retry_max_attempts
     orphan_min_age_seconds: float = 3600.0  # in-flight guard for the
                                   # orphan sweep: rename-free writes put
                                   # uncommitted files on disk, so only
@@ -222,13 +231,19 @@ class CdcEngine:
         )
         return deduped, bucket_stats
 
-    def apply_batch(self, batch: DataFrame, batch_seq: int | None = None) -> BatchResult:
+    def apply_batch(
+        self,
+        batch: DataFrame,
+        batch_seq: int | None = None,
+        in_backfill: bool = False,
+    ) -> BatchResult:
         """Apply one micro-batch (the foreachBatch body)."""
         t0 = time.monotonic()
         wm = self.current_watermark()
         deduped, bucket_stats = self._stage(batch, wm)
         try:
-            return self._apply_staged(deduped, bucket_stats, t0, batch_seq)
+            return self._apply_staged(deduped, bucket_stats, t0, batch_seq,
+                                      staged_wm=wm, in_backfill=in_backfill)
         finally:
             if self.opts.cache_batches:
                 deduped.unpersist()
@@ -239,9 +254,76 @@ class CdcEngine:
         bucket_stats,
         t0: float,
         batch_seq: int | None = None,
+        staged_wm: int | None = None,
+        in_backfill: bool = False,
     ) -> BatchResult:
-        wm = self.current_watermark()
-        seq = batch_seq if batch_seq is not None else int(self.table.watermark().get("batch_seq", 0)) + 1
+        """Apply a staged batch, re-planning on optimistic-concurrency
+        conflicts when ``retry_mode`` allows: the loser of a commit race
+        re-reads the table (fresh watermark, fresh touched-bucket
+        content) and re-runs only the anti-join + write — the expensive
+        dedup result is the cached ``deduped``. Mirrors the reference's
+        queryRetryMode gating of merge retries (CRD:195-210)."""
+        attempts = 0
+        delay = self.opts.retry_base_seconds
+        while True:
+            try:
+                return self._apply_staged_once(
+                    deduped, bucket_stats, t0, batch_seq,
+                    # first attempt trusts the staging-time stale-row
+                    # guard (chunks are disjoint ascending ranges);
+                    # a conflict means another writer advanced the
+                    # table mid-flight, so retries re-guard
+                    staged_wm if attempts else None,
+                )
+            except CommitConflictError:
+                attempts += 1
+                mode = self.opts.retry_mode
+                retriable = mode == "always" or (
+                    mode == "backfillOnly" and in_backfill
+                )
+                if not retriable or attempts >= self.opts.retry_max_attempts:
+                    raise
+                time.sleep(delay)
+                delay *= self.opts.retry_scale_factor
+
+    def _apply_staged_once(
+        self,
+        deduped: DataFrame,
+        bucket_stats,
+        t0: float,
+        batch_seq: int | None = None,
+        staged_wm: int | None = None,
+    ) -> BatchResult:
+        """``staged_wm`` non-None marks a conflict retry: the stale-row
+        guard re-applies against the advanced watermark before
+        re-planning.
+
+        The whole plan (watermark, stale guard, anti-join read) is
+        pinned to ONE base snapshot, and the commit validates against
+        that same base — a concurrent writer landing anywhere between
+        plan and commit turns this attempt into a CommitConflictError
+        (handled by the ``_apply_staged`` re-plan loop) instead of a
+        silent lost update."""
+        base = self.table.current_snapshot()
+        wm_rec = (base.watermark if base is not None else None) or {}
+        if wm_rec.get("version") is None:
+            # exact reference failure message, StreamRunner.scala:183
+            raise WatermarkNotSetError("Invalid watermark value: 'null'")
+        wm = int(wm_rec["version"])
+        if staged_wm is not None and wm > staged_wm:
+            # another writer advanced the table since this batch was
+            # staged: rows now at or below the committed watermark are
+            # already reflected and must not regress newer table rows —
+            # re-apply the stale-row guard and refresh the bucket stats
+            # (a cache-hit aggregation, not a recompute of the dedup)
+            deduped = deduped.filter(F.col(VERSION_COL) > F.lit(wm))
+            bucket_stats = (
+                deduped.groupBy(_BUCKET)
+                .agg(F.count("*").alias("rows"),
+                     F.max(VERSION_COL).alias("last_version"))
+                .collect()
+            )
+        seq = batch_seq if batch_seq is not None else int(wm_rec.get("batch_seq", 0)) + 1
         if not bucket_stats:
             result = BatchResult(seq, 0, 0, wm, 0, time.monotonic() - t0, skipped=True)
             self.metrics.append(result)
@@ -264,7 +346,7 @@ class CdcEngine:
         evolved = diff.evolved
         target_cols = [f.name for f in evolved.fields]
 
-        existing = self.table.read(buckets=touched)
+        existing = self.table.read(buckets=touched, snapshot_id=base.snapshot_id)
         if self.opts.merge_join == "auto":
             broadcast = rows_deduped <= self.opts.broadcast_threshold_rows
         else:
@@ -311,6 +393,7 @@ class CdcEngine:
                 lineage=lineage,
                 max_rows_per_file=self.opts.max_rows_per_file,
                 sort_within=list(self.opts.sort_within) or None,
+                base=base,
             )
 
         t_commit = time.monotonic()
@@ -396,7 +479,8 @@ class CdcEngine:
                         )
                         staged_pending.append(nxt)
                     try:
-                        res = self._apply_staged(deduped, stats, t_batch)
+                        res = self._apply_staged(deduped, stats, t_batch,
+                                                 staged_wm=wm)
                     finally:
                         if self.opts.cache_batches:
                             deduped.unpersist()
@@ -421,45 +505,85 @@ class CdcEngine:
         snapshot: DataFrame,
         behavior: str = "overwrite",
         capture_version: int | None = None,
+        shards: int = 1,
+        backfill_id: str | None = None,
     ) -> None:
         """Full reload. ``overwrite`` replaces the table content
         (backfillBehavior: Overwrite, CRD:116-118); ``merge`` upserts the
         snapshot (Merge). The watermark is set to ``capture_version``
         (the source version captured before the backfill started) so
         change capture resumes without a gap — reference sequence
-        stream→backfill→stream, StreamRunner.scala:196-258."""
+        stream→backfill→stream, StreamRunner.scala:196-258.
+
+        ``shards > 1`` makes the overwrite RESTARTABLE (reference
+        ShardStagingProcessor + DefaultBackfillStateManager,
+        main.scala:94-101): the key space is split into ``shards``
+        disjoint bucket slices, each staged as its own write job whose
+        completion is persisted in the table's backfill state file. A
+        crashed reload re-invoked with the same snapshot and shard count
+        skips every completed shard — a 100 TB reload that dies at 99%
+        redoes one shard, not the world — and the final publish is still
+        ONE atomic commit, so readers never see a partial backfill.
+        ``backfill_id`` defaults to a deterministic id derived from
+        (capture_version, shards); pass an explicit id to disambiguate
+        retries with a different source snapshot."""
         df = normalize_column_names(snapshot)
         if OPERATION_COL not in df.columns:
             df = df.withColumn(OPERATION_COL, F.lit("I"))
         if VERSION_COL not in df.columns:
             df = df.withColumn(VERSION_COL, F.lit(0).cast("long"))
         if behavior == "merge":
-            self.apply_batch(df)
+            self.apply_batch(df, in_backfill=True)
             return
         if behavior != "overwrite":
             raise ValueError(f"unknown backfill behavior: {behavior!r}")
         wm_before = self.table.watermark() or {}
         df = with_merge_key(df, list(self.opts.key_columns))
-        df = latest_change_per_key(df, strategy=self.opts.dedup_strategy,
-                                   num_salts=self.opts.num_salts)
-        df = df.filter(F.col(OPERATION_COL) != "D")
+        version = capture_version if capture_version is not None else int(wm_before.get("version", 0))
+        watermark = {"version": version,
+                     "batch_seq": int(wm_before.get("batch_seq", 0)) + 1,
+                     "partitions": []}
         target_schema = self.table.schema()
         diff = diff_schemas(target_schema, df.schema, system_columns=SYSTEM_COLS)
-        out = df.select(
-            *[
-                (F.col(f.name) if f.name in df.columns else F.lit(None))
-                .cast(f.dataType).alias(f.name)
-                for f in diff.evolved.fields
-            ]
-        )
-        version = capture_version if capture_version is not None else int(wm_before.get("version", 0))
-        self.table.overwrite(
-            out,
-            watermark={"version": version,
-                       "batch_seq": int(wm_before.get("batch_seq", 0)) + 1,
-                       "partitions": []},
-            max_rows_per_file=self.opts.max_rows_per_file,
-            sort_within=list(self.opts.sort_within) or None,
+
+        def _finalize(part: DataFrame) -> DataFrame:
+            part = latest_change_per_key(part, strategy=self.opts.dedup_strategy,
+                                         num_salts=self.opts.num_salts)
+            part = part.filter(F.col(OPERATION_COL) != "D")
+            return part.select(
+                *[
+                    (F.col(f.name) if f.name in part.columns else F.lit(None))
+                    .cast(f.dataType).alias(f.name)
+                    for f in diff.evolved.fields
+                ]
+            )
+
+        if shards <= 1:
+            self.table.overwrite(
+                _finalize(df),
+                watermark=watermark,
+                max_rows_per_file=self.opts.max_rows_per_file,
+                sort_within=list(self.opts.sort_within) or None,
+            )
+            return
+
+        # deterministic resume identity: same capture version + shard
+        # count = same backfill. Shard i owns buckets ≡ i (mod shards) —
+        # bucket slices partition the key space, so per-shard dedup is
+        # globally correct and every staged file lands in a bucket the
+        # final commit expects.
+        bid = backfill_id or f"v{version}x{shards}"
+        bucket = bucket_expr(MERGE_KEY_COL, self.table.num_buckets)
+        for shard in range(shards):
+            part = df.filter(F.pmod(bucket, F.lit(shards)) == F.lit(shard))
+            self.table.stage_backfill_shard(
+                _finalize(part), bid, shard, shards,
+                max_rows_per_file=self.opts.max_rows_per_file,
+                sort_within=list(self.opts.sort_within) or None,
+            )
+        self.table.commit_backfill(
+            bid, watermark=watermark,
+            schema=diff.evolved if diff.changed else None,
         )
 
     # ------------------------------------------------------------------

@@ -75,3 +75,154 @@ def test_resume_is_noop_when_fully_applied(spark, lake_root):
     results = eng2.run_incremental(log)
     assert results == []
     assert eng2.table.current_snapshot().snapshot_id == sid
+
+
+def test_sharded_backfill_resumes_without_redoing_shards(spark, lake_root, monkeypatch):
+    """Kill a sharded backfill mid-flight: re-invoking it stages only the
+    missing shards (completed ones are served from the persisted backfill
+    state), the staged files survive the startup orphan sweep, and the
+    final state equals an uninterrupted single-shot backfill."""
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import (
+        BackfillStateError,
+    )
+
+    # uninterrupted reference run
+    eng_ref = _engine(spark, lake_root + "_ref")
+    snap_src = synth_transcripts_changelog(spark, 3000, num_convs=50, seed=7)
+    eng_ref.backfill(snap_src, capture_version=3000)
+    want = sorted_pdf(eng_ref.current_state(), OUT_COLS)
+
+    eng = _engine(spark, lake_root)
+    table = eng.table
+
+    # crash after 2 of 4 shards: make the 3rd staged write raise
+    calls = {"n": 0}
+    real_stage = LakeTable.stage_backfill_shard
+
+    def flaky_stage(self, df, bid, shard, total, **kw):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-backfill")
+        calls["n"] += 1
+        return real_stage(self, df, bid, shard, total, **kw)
+
+    monkeypatch.setattr(LakeTable, "stage_backfill_shard", flaky_stage)
+    try:
+        eng.backfill(snap_src, capture_version=3000, shards=4)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    state = table.backfill_state()
+    assert sorted(state["completed"]) == ["0", "1"]
+    # nothing visible yet; startup sweep spares the staged shards
+    assert table.read().count() == 0
+    table.remove_orphan_files(older_than_seconds=0)
+    assert sorted(table.backfill_state()["completed"]) == ["0", "1"]
+
+    # resume (fresh engine = restarted process): completed shards are not
+    # re-staged — count actual write jobs
+    monkeypatch.setattr(LakeTable, "stage_backfill_shard", real_stage)
+    writes = {"n": 0}
+    real_write = LakeTable._write_parts
+
+    def counting_write(self, *a, **kw):
+        writes["n"] += 1
+        return real_write(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "_write_parts", counting_write)
+    eng2 = CdcEngine(spark, LakeTable(spark, lake_root), EngineOptions(num_buckets=8))
+    eng2.backfill(snap_src, capture_version=3000, shards=4)
+    assert writes["n"] == 2  # only shards 2 and 3
+    assert eng2.table.backfill_state() is None  # state cleared on commit
+    assert eng2.table.watermark()["version"] == 3000
+    assert_tables_equal(sorted_pdf(eng2.current_state(), OUT_COLS), want)
+
+    # change capture resumes from the captured version with no gap
+    more = synth_transcripts_changelog(spark, 4000, num_convs=50, seed=7)
+    eng2.run_incremental(more)
+    eng_ref.run_incremental(more)
+    assert_tables_equal(
+        sorted_pdf(eng2.current_state(), OUT_COLS),
+        sorted_pdf(eng_ref.current_state(), OUT_COLS),
+    )
+
+    # a different shard geometry against leftover state fails fast
+    eng3 = _engine(spark, lake_root + "_geom")
+    monkeypatch.setattr(LakeTable, "_write_parts", real_write)
+    t3 = eng3.table
+    t3.stage_backfill_shard(
+        eng3.table.read(), "bf-a", 0, 2
+    )
+    try:
+        t3.stage_backfill_shard(eng3.table.read(), "bf-b", 0, 3)
+        raise AssertionError("expected BackfillStateError")
+    except BackfillStateError:
+        pass
+
+
+def test_racing_writers_replan_and_converge(spark, lake_root, monkeypatch):
+    """Two engines race on one table (reference queryRetryMode, CRD
+    crd-microsoft-sql-server-stream.yaml:181-211). Writer B plans its
+    merge against the pre-race snapshot; writer A lands a full commit
+    inside B's plan-to-commit window. The base-snapshot validation must
+    turn B's commit into a CommitConflictError (NOT a silent lost
+    update), and with retry_mode="always" B re-plans against A's commit
+    so the final state equals sequential application. With the default
+    retry_mode="never" the loser raises."""
+    import pytest
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import (
+        CommitConflictError,
+    )
+
+    log = synth_transcripts_changelog(spark, 4000, num_convs=60, seed=9)
+    b1 = log.filter(F.col("sys_change_version") <= 2000)
+    b2 = log.filter(F.col("sys_change_version") > 2000)
+
+    # sequential oracle
+    eng_seq = _engine(spark, lake_root + "_seq")
+    eng_seq.run_incremental(log)
+    want = sorted_pdf(eng_seq.current_state(), OUT_COLS)
+
+    eng_a = _engine(spark, lake_root)
+    eng_b = CdcEngine(
+        spark, LakeTable(spark, lake_root),
+        EngineOptions(num_buckets=8, retry_mode="always",
+                      retry_base_seconds=0.01),
+    )
+
+    # interpose: the first commit attempt from B's table triggers A's
+    # full apply of b1 — A commits inside B's plan→commit window
+    fired = {"x": False}
+    real_rb = LakeTable.replace_buckets
+
+    def racing_rb(self, *a, **kw):
+        if self is eng_b.table and not fired["x"]:
+            fired["x"] = True
+            eng_a.apply_batch(b1)
+        return real_rb(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "replace_buckets", racing_rb)
+    res = eng_b.apply_batch(b2)
+    assert not res.skipped and res.max_version == 4000
+
+    # both batches landed; final state equals sequential application
+    assert eng_b.table.watermark()["version"] == 4000
+    assert_tables_equal(sorted_pdf(eng_b.current_state(), OUT_COLS), want)
+
+    # default retry_mode="never": the loser of the same race raises
+    eng_c = _engine(spark, lake_root + "_never")
+    eng_d = CdcEngine(
+        spark, LakeTable(spark, lake_root + "_never"),
+        EngineOptions(num_buckets=8),
+    )
+    fired["x"] = False
+
+    def racing_rb2(self, *a, **kw):
+        if self is eng_d.table and not fired["x"]:
+            fired["x"] = True
+            eng_c.apply_batch(b1)
+        return real_rb(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "replace_buckets", racing_rb2)
+    with pytest.raises(CommitConflictError):
+        eng_d.apply_batch(b2)

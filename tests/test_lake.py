@@ -145,6 +145,31 @@ def test_analyze_stats(spark, lake_root):
     assert t.current_snapshot().properties["stats"]["rows"] == 77
 
 
+def test_analyze_included_columns(spark, lake_root):
+    """Reference targetAnalyzeSettings.includedColumns
+    (crd-microsoft-sql-server-stream.yaml:285-301): per-column NDV /
+    null count / min / max collected in ONE scan and persisted in the
+    snapshot properties."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=4)
+    df = _df(spark, 100).withColumn(
+        "v", F.when(F.col("v") < 10, None).otherwise(F.col("v"))
+    )
+    t.append(df)
+    stats = t.analyze(included_columns=["k", "v"])
+    cols = stats["columns"]
+    assert cols["v"]["null_count"] == 10
+    assert cols["v"]["min"] == 10 and cols["v"]["max"] == 99
+    assert cols["k"]["null_count"] == 0
+    # HLL estimate of 100 distinct keys is within its ~5% default error
+    assert 85 <= cols["k"]["ndv"] <= 115
+    # persisted + JSON round-trippable
+    again = LakeTable(spark, lake_root).current_snapshot().properties["stats"]
+    assert again["columns"]["v"]["max"] == 99
+    with pytest.raises(ValueError, match="includedColumns"):
+        t.analyze(included_columns=["nope"])
+
+
 def test_bucket_hash_mismatch_fails_fast(spark, lake_root):
     """A table bucketed under a different hash function must refuse to
     open: touched-bucket pruning under the wrong hash would silently
