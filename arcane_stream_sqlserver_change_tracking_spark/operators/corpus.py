@@ -171,9 +171,16 @@ def simhash(
     """SimHash per document over whitespace tokens.
 
     Token hash = first 8 hex chars of md5 (32 bits, engine-independent).
-    Bit j of the simhash is set iff sum over tokens of (2·bit_j − 1) > 0.
-    Returns (id, simhash:long). Explode tokens × bits → two hash aggs —
-    all vectorized, map-side combined."""
+    Bit j of the simhash is set iff sum over tokens of (2·bit_j − 1) > 0,
+    i.e. iff 2·(count of tokens with bit j set) > token count.
+    Returns (id, simhash:long).
+
+    One aggregation pass: each bit is its own ``sum`` column over the
+    token rows (``bits`` agg expressions in a single groupBy — all
+    whole-stage codegen, map-side combined, ONE shuffle keyed by doc),
+    then the final select folds the per-bit counts into the hash. No
+    tokens×bits row explosion — the intermediate is |tokens| rows wide,
+    not 32·|tokens| tall."""
     tokens = df.select(
         F.col(id_col),
         F.explode(F.split(F.col(text_col), " ")).alias("tok"),
@@ -183,20 +190,15 @@ def simhash(
         .cast("long")
         .alias("h"),
     )
-    per_bit = tokens.select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
-        F.col("h"),
-    ).select(
-        id_col,
-        "j",
-        # shiftright/shiftleft builders take only literal shift amounts;
-        # the SQL functions accept columns
-        (F.expr("shiftright(h, cast(j as int)) & 1") * 2 - 1).alias("s"),
+    sums = tokens.groupBy(id_col).agg(
+        F.count("*").alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {j}) & 1")).alias(f"b{j}")
+            for j in range(bits)
+        ],
     )
-    bit_sums = per_bit.groupBy(id_col, "j").agg(F.sum("s").alias("v"))
-    return bit_sums.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), cast(j as int))")).otherwise(F.lit(0))
-        ).cast("long").alias("simhash")
-    )
+    folded = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        folded = term if folded is None else folded + term
+    return sums.select(id_col, folded.cast("long").alias("simhash"))
