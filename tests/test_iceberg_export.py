@@ -1,0 +1,185 @@
+"""Iceberg interop seam (reference IcebergS3CatalogWriter /
+IcebergEntityManager, main.scala:80-84): the LakeTable→Iceberg-v2
+metadata mapping is unit-tested here; the catalog writer itself is
+jar-gated and only its gating behavior is testable in this sandbox."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arcane_stream_sqlserver_change_tracking_spark.functions.keys import (
+    MERGE_KEY_COL,
+    merge_key_expr,
+)
+from arcane_stream_sqlserver_change_tracking_spark.plans.iceberg_export import (
+    IcebergCatalogWriter,
+    IcebergRuntimeUnavailable,
+    export_iceberg_metadata,
+    iceberg_runtime_available,
+    iceberg_schema,
+    iceberg_table_metadata,
+)
+from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.LongType()),
+        T.StructField(MERGE_KEY_COL, T.StringType()),
+    ]
+)
+
+
+def _df(spark, n, tag=0):
+    return (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("key"), F.col("id").cast("string")).alias("k"),
+            (F.col("id") + tag).alias("v"),
+        )
+        .withColumn(MERGE_KEY_COL, merge_key_expr(["k"]))
+    )
+
+
+def _table(spark, root):
+    t = LakeTable(spark, root)
+    t.create(SCHEMA, num_buckets=8, key_columns=["k"])
+    t.append(_df(spark, 50), watermark={"version": 50, "batch_seq": 1})
+    t.append(_df(spark, 30, tag=100), watermark={"version": 80, "batch_seq": 2})
+    return t
+
+
+def test_metadata_document_shape(spark, lake_root):
+    t = _table(spark, lake_root)
+    md = iceberg_table_metadata(t)
+    assert md["format-version"] == 2
+    # every spec-required v2 key present
+    for key in (
+        "table-uuid", "location", "last-sequence-number", "last-updated-ms",
+        "last-column-id", "current-schema-id", "schemas", "default-spec-id",
+        "partition-specs", "last-partition-id", "default-sort-order-id",
+        "sort-orders", "current-snapshot-id", "snapshots", "snapshot-log",
+    ):
+        assert key in md, key
+    # field ids mirror the table's own (birth-order, never reused)
+    cur = t.current_snapshot()
+    fids = cur.properties["field_ids"]
+    sch = md["schemas"][md["current-schema-id"]]
+    assert {f["name"]: f["id"] for f in sch["fields"]} == fids
+    assert md["last-column-id"] >= max(fids.values())
+    # bucket transform on the merge key
+    spec = md["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "bucket[8]"
+    assert spec["source-id"] == fids[MERGE_KEY_COL]
+    # snapshot chain with parents, current id last
+    assert md["current-snapshot-id"] == cur.snapshot_id
+    ids = [s["snapshot-id"] for s in md["snapshots"]]
+    assert ids == sorted(ids) and ids[-1] == cur.snapshot_id
+    by_id = {s["snapshot-id"]: s for s in md["snapshots"]}
+    assert by_id[cur.snapshot_id]["parent-snapshot-id"] == cur.parent_id
+    # watermark rides the summary; totals match the manifest aggregates
+    summ = by_id[cur.snapshot_id]["summary"]
+    assert summ["arcane.watermark.version"] == "80"
+    assert int(summ["total-records"]) == 80
+
+
+def test_schema_evolution_gets_distinct_schema_ids(spark, lake_root):
+    t = _table(spark, lake_root)
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("extra", T.DoubleType())]
+    )
+    t.replace_buckets(
+        _df(spark, 10).withColumn("extra", F.lit(1.5)),
+        buckets=[], schema=evolved,
+    )
+    md = iceberg_table_metadata(t)
+    assert len(md["schemas"]) == 2
+    cur_schema = md["schemas"][md["current-schema-id"]]
+    names = [f["name"] for f in cur_schema["fields"]]
+    assert "extra" in names
+    # new column got a NEW id beyond the originals (never reused)
+    extra_id = next(f["id"] for f in cur_schema["fields"] if f["name"] == "extra")
+    old_ids = {f["id"] for f in md["schemas"][0]["fields"]}
+    assert extra_id not in old_ids
+    # snapshots reference the schema they were written under
+    snap_sids = {s["snapshot-id"]: s["schema-id"] for s in md["snapshots"]}
+    assert snap_sids[md["current-snapshot-id"]] == md["current-schema-id"]
+    assert snap_sids[1] == 0
+
+
+def test_nested_and_exotic_type_mapping():
+    fids = {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+    sch = iceberg_schema(
+        T.StructType(
+            [
+                T.StructField("a", T.TimestampType(), False),
+                T.StructField("b", T.ArrayType(T.FloatType(), False)),
+                T.StructField("c", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("d", T.DecimalType(18, 4)),
+                T.StructField(
+                    "e",
+                    T.StructType([T.StructField("x", T.BinaryType())]),
+                ),
+            ]
+        ),
+        fids,
+    )
+    by_name = {f["name"]: f for f in sch["fields"]}
+    assert by_name["a"]["type"] == "timestamptz" and by_name["a"]["required"]
+    lst = by_name["b"]["type"]
+    assert lst["type"] == "list" and lst["element"] == "float"
+    assert lst["element-required"] is True
+    mp = by_name["c"]["type"]
+    assert mp["key"] == "string" and mp["value"] == "long"
+    assert by_name["d"]["type"] == "decimal(18, 4)"
+    st = by_name["e"]["type"]
+    assert st["fields"][0]["type"] == "binary"
+    # nested ids allocated after the top-level ids, all distinct
+    nested = [lst["element-id"], mp["key-id"], mp["value-id"], st["fields"][0]["id"]]
+    assert min(nested) > 5 and len(set(nested)) == 4
+    # deterministic: same input -> same ids
+    again = iceberg_schema(
+        T.StructType(
+            [
+                T.StructField("a", T.TimestampType(), False),
+                T.StructField("b", T.ArrayType(T.FloatType(), False)),
+                T.StructField("c", T.MapType(T.StringType(), T.LongType())),
+                T.StructField("d", T.DecimalType(18, 4)),
+                T.StructField(
+                    "e",
+                    T.StructType([T.StructField("x", T.BinaryType())]),
+                ),
+            ]
+        ),
+        fids,
+    )
+    assert again == sch
+
+
+def test_export_writes_versioned_metadata_and_hint(spark, lake_root, tmp_path):
+    t = _table(spark, lake_root)
+    dest = str(tmp_path / "iceberg")
+    path = export_iceberg_metadata(t, dest)
+    assert os.path.basename(path) == "v2.metadata.json"
+    with open(path) as f:
+        md = json.load(f)  # valid JSON end-to-end
+    assert md["current-snapshot-id"] == 2
+    with open(os.path.join(dest, "version-hint.text")) as f:
+        assert f.read() == "2"
+    # deterministic table uuid on re-export
+    md2 = iceberg_table_metadata(t)
+    assert md2["table-uuid"] == md["table-uuid"]
+    # a new commit exports the next version alongside
+    t.append(_df(spark, 5, tag=500))
+    path3 = export_iceberg_metadata(t, dest)
+    assert os.path.basename(path3) == "v3.metadata.json"
+    assert os.path.exists(path)  # history retained
+
+
+def test_catalog_writer_is_jar_gated(spark):
+    assert not iceberg_runtime_available(spark)  # sandbox ships no jar
+    with pytest.raises(IcebergRuntimeUnavailable, match="classpath"):
+        IcebergCatalogWriter(spark, "lake", "cdc")
