@@ -48,6 +48,8 @@ from .operators.corpus import (
     ngram_jaccard_pairs,
     simhash,
 )
+from .functions.sampling import hash_split
+from .operators.clusters import near_dup_clusters
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
@@ -439,7 +441,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), num_perms=16, num_bands=4)
 
 
-def _sql_minhash(num_perms: int = 16, num_bands: int = 4) -> str:
+def _sql_minhash_ctes(num_perms: int = 16, num_bands: int = 4) -> str:
+    """CTE chain ending in ``pairs`` — the DuckDB twin of the
+    minhash→bands→candidate-pair pipeline, shared by the pair query and
+    the cluster-resolution oracle."""
     rows = num_perms // num_bands
     mins = ",\n         ".join(
         f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(num_perms)
@@ -451,17 +456,72 @@ def _sql_minhash(num_perms: int = 16, num_bands: int = 4) -> str:
         )
         for b in range(num_bands)
     )
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 sig AS (
   SELECT doc_id,
          {mins}
   FROM sh GROUP BY doc_id),
 bands AS (
-{bands})
-SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-FROM bands x JOIN bands y USING (band_idx, band_hash)
-WHERE x.doc_id < y.doc_id
+{bands}),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y USING (band_idx, band_hash)
+  WHERE x.doc_id < y.doc_id)"""
+
+
+def _sql_minhash(num_perms: int = 16, num_bands: int = 4) -> str:
+    return f"""
+WITH {_sql_minhash_ctes(num_perms, num_bands)}
+SELECT a, b FROM pairs
+"""
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: the keep-one-per-near-dup-group resolution step.
+    Min-label propagation with pointer jumping (operators/clusters.py);
+    the oracle computes the transitive closure of the SAME candidate
+    pairs with a recursive CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, num_perms=16, num_bands=4)
+    return near_dup_clusters(pairs, docs, id_col="doc_id")
+
+
+def _sql_clusters(num_perms: int = 16, num_bands: int = 4) -> str:
+    return f"""
+WITH RECURSIVE {_sql_minhash_ctes(num_perms, num_bands)},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs),
+reach(u, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v)
+SELECT u AS doc_id, min(r) AS cluster_id,
+       (u = min(r)) AS is_representative
+FROM reach GROUP BY u
+"""
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, engine-portable train/val/test assignment — the
+    bucket is sha256 of the id's decimal string, so the oracle can
+    reproduce every row's label bit-for-bit."""
+    return hash_split(_t(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "split"
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+SELECT doc_id,
+       CASE
+         WHEN ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000 < 9000
+           THEN 'train'
+         WHEN ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000 < 9500
+           THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
 """
 
 
@@ -873,6 +933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mssql_changetable_feed": q_mssql_changetable_feed,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
+        "train_val_split": q_train_val_split,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk_cosine": q_embedding_topk,
@@ -905,6 +967,8 @@ def oracle_sql() -> dict[str, str]:
         "mssql_changetable_feed": SQL_MSSQL_FEED,
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
+        "near_dup_clusters": _sql_clusters(16, 4),
+        "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
         "embedding_topk_cosine": SQL_TOPK,
