@@ -166,6 +166,82 @@ class MsSqlSource:
         )
         return f"SELECT {cols} FROM {self.qualified_table}"
 
+    def backfill_shard_query(
+        self,
+        partition_column: str,
+        lo: int,
+        hi: int,
+        last_shard: bool = False,
+    ) -> str:
+        """Range-sliced full-reload query for ONE restartable shard:
+        ``WHERE pcol >= lo AND pcol < hi`` (``<=`` on the last shard).
+        A plain index-range predicate the server can seek — unlike a
+        hash-of-key shard filter, which would force a full table scan
+        PER SHARD. Resuming a crashed reload therefore re-reads only
+        the unfinished slices, never the whole table."""
+        op_hi = "<=" if last_shard else "<"
+        return (
+            f"{self.backfill_query()} "
+            f"WHERE {_bq(partition_column)} >= {int(lo)} "
+            f"AND {_bq(partition_column)} {op_hi} {int(hi)}"
+        )
+
+    def backfill_shard_plan(
+        self,
+        shards: int,
+        bounds: tuple[int, int],
+        partition_column: str | None = None,
+        partitions_per_shard: int = 8,
+    ) -> list[dict[str, str]]:
+        """Pure planning half of :meth:`read_backfill_shards` (unit-
+        testable without a server): one JDBC option dict per shard.
+        ``shards`` disjoint range slices of ``partition_column``
+        (default: first PK column), each itself a
+        ``partitions_per_shard``-way parallel range read."""
+        pcol = partition_column or self.pk_columns[0]
+        lo, hi = int(bounds[0]), int(bounds[1])
+        span = hi - lo + 1
+        edges = [lo + (span * i) // shards for i in range(shards)] + [hi]
+        plans: list[dict[str, str]] = []
+        for i in range(shards):
+            last = i == shards - 1
+            s_lo, s_hi = edges[i], edges[i + 1]
+            sql = self.backfill_shard_query(pcol, s_lo, s_hi, last_shard=last)
+            plans.append(
+                self.jdbc_options(
+                    sql,
+                    partition_column=pcol,
+                    lower_bound=s_lo,
+                    upper_bound=max(s_lo + 1, s_hi),
+                    num_partitions=partitions_per_shard,
+                )
+            )
+        return plans
+
+    def read_backfill_shards(
+        self,
+        spark: SparkSession,
+        shards: int,
+        bounds: tuple[int, int],
+        partition_column: str | None = None,
+        partitions_per_shard: int = 8,
+    ) -> list[DataFrame]:
+        """The source side of a RESTARTABLE 100 TB reload. Feed the list
+        to ``CdcEngine.backfill(..., shard_parts=...)`` — shard k's
+        completion is persisted, so a crash resumes at the first
+        unfinished slice and re-issues ONLY that slice's server-side
+        range query (see :meth:`backfill_shard_query`).
+
+        Keys never span shards: the slice column is part of the PK, so
+        every key's rows live in exactly one slice and per-shard
+        staging/dedup is globally correct."""
+        return [
+            spark.read.format("jdbc").options(**opts).load()
+            for opts in self.backfill_shard_plan(
+                shards, bounds, partition_column, partitions_per_shard
+            )
+        ]
+
     # ------------------------------------------------------------------
     # JDBC option construction (pure, unit-testable)
     # ------------------------------------------------------------------

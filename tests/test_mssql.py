@@ -177,3 +177,32 @@ def test_retention_guard():
         validate_watermark_retention(99, 100)
     with pytest.raises(ChangeTrackingRetentionError, match="not enabled"):
         validate_watermark_retention(99, None)
+
+
+def test_backfill_shard_query_range_predicate():
+    src = SRC
+    sql = src.backfill_shard_query("id", 100, 200)
+    assert sql.endswith('WHERE [id] >= 100 AND [id] < 200')
+    last = src.backfill_shard_query("id", 200, 300, last_shard=True)
+    assert last.endswith('WHERE [id] >= 200 AND [id] <= 300')
+    # the range predicate composes onto the full projection
+    assert sql.startswith(src.backfill_query())
+
+
+def test_backfill_shard_plan_slices_cover_range_disjointly():
+    src = SRC
+    plans = src.backfill_shard_plan(4, (0, 1003), partitions_per_shard=8)
+    assert len(plans) == 4
+    # adjacent half-open slices: shard i's hi == shard i+1's lo; last
+    # shard inclusive of the upper bound
+    bounds = []
+    for i, p in enumerate(plans):
+        sql = p["dbtable"]
+        assert p["numPartitions"] == "8"
+        assert f">= {p['lowerBound']}" in sql
+        bounds.append((int(p["lowerBound"]), int(p["upperBound"])))
+    assert bounds[0][0] == 0
+    for (lo_a, _), (lo_b, _) in zip(bounds, bounds[1:]):
+        assert lo_a < lo_b
+    assert "<= 1003" in plans[-1]["dbtable"]
+    assert "< 1003" not in plans[-1]["dbtable"]
