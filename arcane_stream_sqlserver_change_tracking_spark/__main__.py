@@ -73,6 +73,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-buckets", type=int, default=32)
     ap.add_argument("--max-events-per-batch", type=int, default=500_000)
     ap.add_argument("--behavior", choices=["overwrite", "merge"], default="overwrite")
+    ap.add_argument("--shards", type=int, default=1,
+                    help="backfill mode: >1 stages the reload as this many "
+                         "restartable bucket-sliced shards (resume skips "
+                         "completed shards)")
     ap.add_argument("--trigger-seconds", type=int, default=15,
                     help="changeCaptureInterval analog (stream mode)")
     ap.add_argument("--available-now", action="store_true",
@@ -125,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         for r in results:
             print(json.dumps(vars(r)))
     elif args.mode == "backfill":
-        eng.backfill(_changelog(), behavior=args.behavior)
+        eng.backfill(_changelog(), behavior=args.behavior, shards=args.shards)
         print(json.dumps({"backfill": args.behavior,
                           "watermark": table.watermark()}))
     elif args.mode == "stream":
