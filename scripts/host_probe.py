@@ -170,6 +170,9 @@ def main() -> None:
         print(json.dumps({"cpuscale": cpu_scaling()}))
     elif what == "membw":
         print(json.dumps({"membw": mem_bandwidth()}))
+    elif what == "membw8":
+        # quick single-level sample for gating: aggregate GB/s at 8 procs
+        print(json.dumps({"membw8": mem_bandwidth(levels=(8,), reps=10)}))
     elif what == "all":
         print(json.dumps({
             "calib": calib_score(),

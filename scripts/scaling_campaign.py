@@ -118,13 +118,40 @@ def spark_run(master: str, cpus: int, events: int, batches: int) -> dict:
 def run_protocol(protocol: str, args, membw: dict) -> dict:
     lo_master, hi_master = _masters(protocol, args.exec_mem_mb)
     records = []
-    for i in range(args.pairs):
+    rejected = 0
+    attempts = 0
+    while len(records) < args.pairs and attempts < args.max_attempts:
+        attempts += 1
+        i = len(records)
+        if args.gate:
+            # pre-registered clean-host gate: don't START a pair while
+            # the box's own pure-compute scaling is throttled below the
+            # gate — a pair measured inside a throttle window measures
+            # the hypervisor, not the job. Rejected waits are counted
+            # and disclosed.
+            probe_eff, _ = host_cpu_eff_2_8()
+            bw8 = _probe("membw8")["membw8"]["8"]["aggregate_gb_s"]
+            if probe_eff < args.gate or bw8 < args.gate_membw:
+                rejected += 1
+                print(f"[{protocol}] host at cpu {probe_eff:.3f} / "
+                      f"membw8 {bw8:.1f} GB/s < gate ({args.gate}, "
+                      f"{args.gate_membw}) — waiting ({rejected} rejected)",
+                      file=sys.stderr)
+                time.sleep(30)
+                continue
         t_start = time.time()
         eff_before, _ = host_cpu_eff_2_8()
         lo = spark_run(lo_master, 2, args.events, args.batches)
         mid_eff, _ = host_cpu_eff_2_8()
         hi = spark_run(hi_master, 8, args.events, args.batches)
         eff_after, _ = host_cpu_eff_2_8()
+        if args.gate and min(eff_before, mid_eff, eff_after) < args.gate:
+            rejected += 1
+            print(f"[{protocol}] pair bracketed by throttled probe "
+                  f"({eff_before:.3f}/{mid_eff:.3f}/{eff_after:.3f} < "
+                  f"{args.gate}) — rejected ({rejected} so far)",
+                  file=sys.stderr)
+            continue
         raw = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
         host_eff = statistics.median([eff_before, mid_eff, eff_after])
         rec = {
@@ -160,6 +187,8 @@ def run_protocol(protocol: str, args, membw: dict) -> dict:
 
     return {
         "protocol": protocol,
+        "gate": args.gate or None,
+        "rejected_by_gate": rejected,
         "pairs": len(records),
         "events": args.events,
         "batches": args.batches,
@@ -184,6 +213,18 @@ def main() -> None:
     ap.add_argument("--protocols",
                     default="threads,cluster-cores,cluster-execs")
     ap.add_argument("--exec-mem-mb", type=int, default=8192)
+    ap.add_argument("--gate-membw", type=float, default=35.0,
+                    help="with --gate: also require this aggregate GB/s "
+                         "from a quick 8-proc STREAM sample before "
+                         "starting a pair (CPU probes miss memory-side "
+                         "throttle phases)")
+    ap.add_argument("--gate", type=float, default=0.0,
+                    help="pre-registered clean-host gate: a pair counts "
+                         "only when every bracketing host probe is >= "
+                         "this pure-CPU 2->8 efficiency; waits/rejects "
+                         "are disclosed in the summary")
+    ap.add_argument("--max-attempts", type=int, default=40,
+                    help="bound on gate waits + rejected pairs per protocol")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_scaling_campaign.jsonl"))
     args = ap.parse_args()
 
