@@ -507,6 +507,7 @@ class CdcEngine:
         capture_version: int | None = None,
         shards: int = 1,
         backfill_id: str | None = None,
+        shard_parts: list[DataFrame] | None = None,
     ) -> None:
         """Full reload. ``overwrite`` replaces the table content
         (backfillBehavior: Overwrite, CRD:116-118); ``merge`` upserts the
@@ -526,12 +527,32 @@ class CdcEngine:
         ONE atomic commit, so readers never see a partial backfill.
         ``backfill_id`` defaults to a deterministic id derived from
         (capture_version, shards); pass an explicit id to disambiguate
-        retries with a different source snapshot."""
-        df = normalize_column_names(snapshot)
-        if OPERATION_COL not in df.columns:
-            df = df.withColumn(OPERATION_COL, F.lit("I"))
-        if VERSION_COL not in df.columns:
-            df = df.withColumn(VERSION_COL, F.lit(0).cast("long"))
+        retries with a different source snapshot.
+
+        ``shard_parts`` replaces the internal bucket-slice sharding with
+        CALLER-provided shard DataFrames (one per shard, e.g.
+        ``MsSqlSource.read_backfill_shards`` range slices). The internal
+        slicing filters by a hash of the merge key — correct anywhere,
+        but not pushable to a JDBC source, so each shard re-scans the
+        whole source table server-side. Caller parts carry their own
+        (range) predicates, which the source CAN seek — resuming a
+        crashed 100 TB reload then re-reads only unfinished slices.
+        Caller contract: parts are key-disjoint (every merge key's rows
+        in exactly one part) and together cover the snapshot;
+        ``snapshot`` is ignored when parts are given (pass any part).
+        Only ``overwrite`` behavior supports parts."""
+
+        def _prep(sdf: DataFrame) -> DataFrame:
+            sdf = normalize_column_names(sdf)
+            if OPERATION_COL not in sdf.columns:
+                sdf = sdf.withColumn(OPERATION_COL, F.lit("I"))
+            if VERSION_COL not in sdf.columns:
+                sdf = sdf.withColumn(VERSION_COL, F.lit(0).cast("long"))
+            return sdf
+
+        if shard_parts is not None and behavior != "overwrite":
+            raise ValueError("shard_parts requires behavior='overwrite'")
+        df = _prep(shard_parts[0] if shard_parts else snapshot)
         if behavior == "merge":
             self.apply_batch(df, in_backfill=True)
             return
@@ -557,6 +578,24 @@ class CdcEngine:
                     for f in diff.evolved.fields
                 ]
             )
+
+        if shard_parts is not None:
+            # caller-sharded restartable reload: each part staged as its
+            # own shard; source-pushable predicates make the resume path
+            # re-read only unfinished slices (read_backfill_shards)
+            bid = backfill_id or f"v{version}x{len(shard_parts)}"
+            for shard, raw in enumerate(shard_parts):
+                part = with_merge_key(_prep(raw), list(self.opts.key_columns))
+                self.table.stage_backfill_shard(
+                    _finalize(part), bid, shard, len(shard_parts),
+                    max_rows_per_file=self.opts.max_rows_per_file,
+                    sort_within=list(self.opts.sort_within) or None,
+                )
+            self.table.commit_backfill(
+                bid, watermark=watermark,
+                schema=diff.evolved if diff.changed else None,
+            )
+            return
 
         if shards <= 1:
             self.table.overwrite(

@@ -226,3 +226,65 @@ def test_racing_writers_replan_and_converge(spark, lake_root, monkeypatch):
     monkeypatch.setattr(LakeTable, "replace_buckets", racing_rb2)
     with pytest.raises(CommitConflictError):
         eng_d.apply_batch(b2)
+
+
+def test_caller_sharded_backfill_parts(spark, lake_root, monkeypatch):
+    """shard_parts (source-pushable slices, e.g. read_backfill_shards):
+    crash mid-flight, resume stages only the missing parts, final state
+    equals the uninterrupted internal-sharding run — the two sharding
+    modes are interchangeable in outcome."""
+    snap_src = synth_transcripts_changelog(spark, 3000, num_convs=50, seed=9)
+
+    eng_ref = _engine(spark, lake_root + "_ref")
+    eng_ref.backfill(snap_src, capture_version=3000, shards=3)
+    want = sorted_pdf(eng_ref.current_state(), OUT_COLS)
+
+    # caller-side key-disjoint slices (range slices of conv_id's hash
+    # stand in for pk-range JDBC reads; any key-disjoint cover works)
+    parts = [
+        snap_src.filter(F.abs(F.xxhash64("conv_id", "turn_idx")) % 3 == i)
+        for i in range(3)
+    ]
+
+    eng = _engine(spark, lake_root)
+    calls = {"n": 0}
+    real_stage = LakeTable.stage_backfill_shard
+
+    def flaky_stage(self, df, bid, shard, total, **kw):
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash mid-backfill")
+        calls["n"] += 1
+        return real_stage(self, df, bid, shard, total, **kw)
+
+    monkeypatch.setattr(LakeTable, "stage_backfill_shard", flaky_stage)
+    try:
+        eng.backfill(None, capture_version=3000, shard_parts=parts)
+        raise AssertionError("expected simulated crash")
+    except RuntimeError as e:
+        assert "simulated crash" in str(e)
+    assert sorted(eng.table.backfill_state()["completed"]) == ["0", "1"]
+
+    monkeypatch.setattr(LakeTable, "stage_backfill_shard", real_stage)
+    writes = {"n": 0}
+    real_write = LakeTable._write_parts
+
+    def counting_write(self, *a, **kw):
+        writes["n"] += 1
+        return real_write(self, *a, **kw)
+
+    monkeypatch.setattr(LakeTable, "_write_parts", counting_write)
+    eng2 = CdcEngine(spark, LakeTable(spark, lake_root), EngineOptions(num_buckets=8))
+    eng2.backfill(None, capture_version=3000, shard_parts=parts)
+    assert writes["n"] == 1  # only the missing third part
+    assert eng2.table.backfill_state() is None
+    assert_tables_equal(sorted_pdf(eng2.current_state(), OUT_COLS), want)
+
+
+def test_shard_parts_requires_overwrite(spark, lake_root):
+    eng = _engine(spark, lake_root)
+    snap = synth_transcripts_changelog(spark, 100, num_convs=5, seed=1)
+    try:
+        eng.backfill(snap, behavior="merge", shard_parts=[snap])
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "overwrite" in str(e)
