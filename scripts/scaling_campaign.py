@@ -183,7 +183,17 @@ def run_protocol(protocol: str, args, membw: dict) -> dict:
     norms = sorted(r["normalized_efficiency"] for r in records)
 
     def med(xs):
-        return round(statistics.median(xs), 3)
+        return round(statistics.median(xs), 3) if xs else None
+
+    if not records:
+        return {
+            "protocol": protocol,
+            "gate": args.gate or None,
+            "rejected_by_gate": rejected,
+            "pairs": 0,
+            "note": "no pair passed the clean-host gate within "
+                    f"{args.max_attempts} attempts",
+        }
 
     return {
         "protocol": protocol,
