@@ -47,6 +47,7 @@ from .operators.corpus import (
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash,
+    token_vocab,
 )
 from .functions.sampling import hash_split
 from .operators.clusters import near_dup_clusters
@@ -525,6 +526,24 @@ FROM documents
 """
 
 
+def q_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k vocabulary — TakeOrderedAndProject plan (per-
+    partition top-k heaps, no global sort); count-then-token tiebreak
+    makes the result set engine-deterministic."""
+    return token_vocab(_t(spark, sf_dir, "documents"), top_k=100)
+
+
+SQL_TOKEN_VOCAB = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+agg AS (
+  SELECT token, count(*) AS total_count, count(DISTINCT doc_id) AS doc_freq
+  FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, total_count, doc_freq
+FROM agg ORDER BY total_count DESC, token LIMIT 100
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -935,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "train_val_split": q_train_val_split,
+        "token_vocab": q_token_vocab,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk_cosine": q_embedding_topk,
@@ -969,6 +989,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
+        "token_vocab": SQL_TOKEN_VOCAB,
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
         "embedding_topk_cosine": SQL_TOPK,

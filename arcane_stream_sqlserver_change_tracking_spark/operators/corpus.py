@@ -202,3 +202,31 @@ def simhash(
         term = F.when(F.col(f"b{j}") * 2 > F.col("n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
         folded = term if folded is None else folded + term
     return sums.select(id_col, folded.cast("long").alias("simhash"))
+
+
+def token_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` whitespace tokens by total
+    count, with document frequency — the first step of BPE training /
+    stop-list construction over a corpus.
+
+    Plan shape at 100 TB: explode → ONE hash aggregate keyed by token
+    (map-side combined, so the shuffle carries distinct tokens per
+    partition, not token occurrences) → global top-k via
+    ``orderBy().limit()``, which Spark compiles to
+    TakeOrderedAndProject: each partition keeps its local top-k heap
+    and only k rows per partition reach the driver-side merge — never
+    a global sort. Ties broken by token text so the result set is
+    deterministic across engines and partitionings."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    agg = toks.groupBy("token").agg(
+        F.count("*").alias("total_count"),
+        F.countDistinct(id_col).alias("doc_freq"),
+    )
+    return agg.orderBy(F.col("total_count").desc(), F.col("token")).limit(top_k)

@@ -223,6 +223,13 @@ def sessionize_stream(
                 start_us = min(start_us, t)
                 last_us = max(last_us, t)
                 n += 1
+        if last_us is None:
+            # a group can be invoked with zero rows (empty Arrow chunk)
+            # before any state exists; storing (None, None, 0) would
+            # poison the timeout arithmetic below
+            if closed:
+                yield _closed_sessions_frame(closed)
+            return
         state.update((start_us, last_us, n))
         if evict:
             # close the session when the watermark passes its gap window;

@@ -122,3 +122,20 @@ def test_hash_split_fraction_validation(spark):
     df = spark.range(5)
     with pytest.raises(ValueError):
         hash_split(df, "id", fractions={"train": 0.5, "val": 0.4})
+
+
+def test_token_vocab_topk_deterministic(spark, sf_dir):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import token_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = token_vocab(docs, top_k=5).collect()
+    assert len(top) <= 5
+    counts = [r["total_count"] for r in top]
+    assert counts == sorted(counts, reverse=True)
+    again = token_vocab(docs.repartition(13), top_k=5).collect()
+    assert [(r["token"], r["total_count"], r["doc_freq"]) for r in top] == [
+        (r["token"], r["total_count"], r["doc_freq"]) for r in again
+    ]
+    # global top-k compiles to per-partition heaps, not a global sort
+    plan = token_vocab(docs, top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
