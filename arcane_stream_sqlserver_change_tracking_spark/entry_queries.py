@@ -920,6 +920,94 @@ FROM m
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan — the shape a
+    100 TB pre-training data job actually runs: near-dup cluster
+    representatives only (LSH → connected components → keep-lowest-id)
+    → language id + quality score (pure Catalyst expressions inside the
+    scan stage) → quality floor → deterministic sha256 split. Catalyst
+    fuses the expression work into the scan; the only shuffles are the
+    LSH band join and the label-propagation rounds."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, num_perms=16, num_bands=4)
+    clusters = near_dup_clusters(pairs, docs, id_col="doc_id")
+    reps = clusters.filter(F.col("is_representative")).select("doc_id")
+    curated = (
+        docs.join(reps, "doc_id")
+        .select(
+            "doc_id",
+            lang_id_expr("text").alias("pred_lang"),
+            quality_score_expr("text").alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.3)
+    )
+    return hash_split(curated, "doc_id").select(
+        "doc_id", "pred_lang", "quality", "split"
+    )
+
+
+def _sql_corpus_pipeline(num_perms: int = 16, num_bands: int = 4) -> str:
+    def score(lang: str) -> str:
+        return " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+            for w in LANG_MARKERS[lang]
+        )
+
+    stop = score("en")
+    bucket = "('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000"
+    return rf"""
+WITH RECURSIVE {_sql_minhash_ctes(num_perms, num_bands)},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs),
+reach(u, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+reps AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u = min(r)),
+scored AS (
+  SELECT doc_id,
+         ({score('en')}) AS en, ({score('de')}) AS de,
+         ({score('fr')}) AS fr, ({score('es')}) AS es,
+         len(regexp_extract_all(text, '[一-鿿]')) AS zh
+  FROM documents),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN zh > 0 THEN 'zh'
+         WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         WHEN de >= fr AND de >= es THEN 'de'
+         WHEN fr >= es THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM scored),
+m AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok,
+         CAST(length(text) AS bigint) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS bigint) AS punct,
+         CAST(({stop}) AS bigint) AS stop
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+    round(
+      least(1.0, n_tok / 100.0)
+      * (1.0 - punct::double / greatest(n_chars, 1))
+      * (0.25 + 0.75 * least(1.0, stop::double / greatest(n_tok, 1) * 10.0)),
+    6) AS quality
+  FROM m)
+SELECT d.doc_id, l.pred_lang, q.quality,
+       CASE WHEN {bucket} < 9000 THEN 'train'
+            WHEN {bucket} < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d
+JOIN reps USING (doc_id)
+JOIN lang l USING (doc_id)
+JOIN qual q USING (doc_id)
+WHERE q.quality >= 0.3
+"""
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint_expr(_t(spark, sf_dir, "documents"), window=16)
 
@@ -955,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_clusters": q_near_dup_clusters,
         "train_val_split": q_train_val_split,
         "token_vocab": q_token_vocab,
+        "corpus_pipeline": q_corpus_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_topk_cosine": q_embedding_topk,
@@ -990,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "near_dup_clusters": _sql_clusters(16, 4),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "token_vocab": SQL_TOKEN_VOCAB,
+        "corpus_pipeline": _sql_corpus_pipeline(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
         "embedding_topk_cosine": SQL_TOPK,
