@@ -43,18 +43,21 @@ from .functions.keys import (
     VERSION_COL,
 )
 from .operators.corpus import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash,
     token_vocab,
 )
+from .functions.text import redact_pii_expr
 from .functions.sampling import hash_split
 from .operators.clusters import near_dup_clusters
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
 from .operators.multimodal import attach_binary_payload, decode_media, sample_frames
+from .operators.scd2 import scd2_history
 from .operators.sessions import session_stats, windowed_event_counts
 from .operators.similarity import (
     brute_force_topk,
@@ -372,6 +375,111 @@ ranked AS (
   FROM log)
 SELECT conv_id, turn_idx, role, text, tool, v AS last_version
 FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed produced FROM the replica: replay the first half
+    of the changelog (one engine batch), snapshot, replay the rest,
+    then ask the lake table what changed between the two commits
+    (LakeTable.changes_between — manifest-delta-planned, touched
+    buckets only). Oracle = SQL states at both version cutoffs diffed
+    with a FULL OUTER JOIN under the same null-safe compare."""
+    import pyarrow.parquet as pq
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    cutoff = n_events // 2  # versions are event_id + 1 ∈ [1, n]
+    root = tempfile.mkdtemp(prefix="cdc_cdf_")
+    table = LakeTable(spark, os.path.join(root, "t"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(
+            key_columns=("user_id",),
+            num_buckets=16,
+            max_events_per_batch=n_events,  # one batch per phase
+        ),
+    )
+    eng.bootstrap(payload)
+    log = events_as_changelog(_t(spark, sf_dir, "events"))
+    eng.run_incremental(log.filter(F.col(VERSION_COL) <= cutoff))
+    s1 = table.current_snapshot().snapshot_id
+    eng.run_incremental(log)  # pending = version > watermark → 2nd half
+    s2 = table.current_snapshot().snapshot_id
+    return table.changes_between(s1, s2).select(
+        "user_id", "ts", "event_type", "value", "props", "_change_type"
+    )
+
+
+SQL_CHANGE_FEED = f"""
+WITH {_LOG_CTE},
+cutv AS (SELECT count(*) // 2 AS v FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log WHERE sys_change_version <= (SELECT v FROM cutv)),
+s1 AS (SELECT user_id, ts, event_type, value, props
+       FROM r1 WHERE rn = 1 AND sys_change_operation <> 'D'),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log),
+s2 AS (SELECT user_id, ts, event_type, value, props
+       FROM r2 WHERE rn = 1 AND sys_change_operation <> 'D')
+SELECT coalesce(s2.user_id, s1.user_id) AS user_id,
+       CASE WHEN s2.user_id IS NULL THEN s1.ts ELSE s2.ts END AS ts,
+       CASE WHEN s2.user_id IS NULL THEN s1.event_type ELSE s2.event_type END AS event_type,
+       CASE WHEN s2.user_id IS NULL THEN s1.value ELSE s2.value END AS value,
+       CASE WHEN s2.user_id IS NULL THEN s1.props ELSE s2.props END AS props,
+       CASE WHEN s1.user_id IS NULL THEN 'insert'
+            WHEN s2.user_id IS NULL THEN 'delete'
+            ELSE 'update_postimage' END AS _change_type
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+   OR s1.ts IS DISTINCT FROM s2.ts
+   OR s1.event_type IS DISTINCT FROM s2.event_type
+   OR s1.value IS DISTINCT FROM s2.value
+   OR s1.props IS DISTINCT FROM s2.props
+"""
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from the raw change feed (operators/scd2.py):
+    one validity interval per non-delete change, closed by the key's
+    next change, one hash Exchange + one window. Oracle = the same
+    lead-window in SQL."""
+    log = events_as_changelog(_t(spark, sf_dir, "events"))
+    return scd2_history(
+        log,
+        key_columns=["user_id"],
+        version_col=VERSION_COL,
+        op_col=OPERATION_COL,
+        payload_columns=["event_type", "value", "props"],
+    )
+
+
+SQL_SCD2 = f"""
+WITH {_LOG_CTE},
+w AS (
+  SELECT user_id, event_type, value, props,
+         sys_change_operation AS op,
+         sys_change_version AS valid_from_version,
+         lead(sys_change_version) OVER (
+           PARTITION BY user_id ORDER BY sys_change_version) AS valid_to_version
+  FROM log)
+SELECT user_id, event_type, value, props,
+       valid_from_version, valid_to_version,
+       (valid_to_version IS NULL) AS is_current
+FROM w WHERE op <> 'D'
 """
 
 
@@ -1022,6 +1130,66 @@ FROM pos GROUP BY doc_id
 """
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (operators/corpus.decontaminate): every
+    20th document plays the held-out benchmark; report = training docs
+    sharing ≥1 16-char shingle with it. The eval shingle set is
+    broadcast — the corpus scan never shuffles for the join."""
+    docs = _t(spark, sf_dir, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    _, report = decontaminate(train, eval_docs, k=16)
+    return report.select("doc_id", "eval_overlap")
+
+
+SQL_DECONTAMINATE = """
+WITH ev AS (
+  SELECT DISTINCT substr(text, g, 16) AS shingle
+  FROM (SELECT text, unnest(generate_series(1, greatest(length(text) - 15, 1))) AS g
+        FROM documents WHERE doc_id % 20 = 0)),
+dsh AS (
+  SELECT DISTINCT doc_id, substr(text, g, 16) AS shingle
+  FROM (SELECT doc_id, text, unnest(generate_series(1, greatest(length(text) - 15, 1))) AS g
+        FROM documents WHERE doc_id % 20 <> 0))
+SELECT doc_id, count(*)::bigint AS eval_overlap
+FROM dsh JOIN ev USING (shingle)
+GROUP BY doc_id
+HAVING count(*) >= 1
+"""
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (functions/text.redact_pii_expr): deterministic
+    synthetic email + phone appended per doc (the corpus itself is
+    clean), then the pure-Catalyst regexp_replace chain removes both.
+    Oracle = the same engine-portable regexes in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("seeded"),
+    )
+    return seeded.select("doc_id", redact_pii_expr("seeded").alias("scrubbed"))
+
+
+SQL_PII_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text || ' contact user' || doc_id::varchar || '@example.com or +1 555 '
+                || lpad((doc_id % 10000)::varchar, 4, '0') || ' now',
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\+?[0-9][0-9()\- ]{6,}[0-9]', '[PHONE]', 'g') AS scrubbed
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1038,6 +1206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_engine_e2e": q_cdc_engine_e2e,
         "transcripts_cdc_e2e": q_transcripts_cdc_e2e,
         "mssql_changetable_feed": q_mssql_changetable_feed,
+        "lake_change_feed": q_lake_change_feed,
+        "scd2_history": q_scd2_history,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1046,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": q_corpus_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
+        "decontaminate": q_decontaminate,
+        "pii_redact": q_pii_redact,
         "embedding_topk_cosine": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk_ann": q_ivf_topk,
@@ -1074,6 +1246,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_engine_e2e": SQL_E2E,
         "transcripts_cdc_e2e": SQL_TRANSCRIPTS_E2E,
         "mssql_changetable_feed": SQL_MSSQL_FEED,
+        "lake_change_feed": SQL_CHANGE_FEED,
+        "scd2_history": SQL_SCD2,
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),
@@ -1082,6 +1256,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_pipeline": _sql_corpus_pipeline(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,
+        "decontaminate": SQL_DECONTAMINATE,
+        "pii_redact": SQL_PII_REDACT,
         "embedding_topk_cosine": SQL_TOPK,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_topk_ann": SQL_IVF_TOPK,

@@ -230,3 +230,39 @@ def token_vocab(
         F.countDistinct(id_col).alias("doc_freq"),
     )
     return agg.orderBy(F.col("total_count").desc(), F.col("token")).limit(top_k)
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    min_overlap: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Eval-set decontamination: drop training documents that share
+    character ``k``-gram shingles with a held-out benchmark corpus
+    (the standard guard against test-set leakage in LLM training data —
+    Brown et al. 2020 §C use 13-gram overlap; same shape here).
+
+    Returns ``(clean_docs, report)`` where ``report`` is
+    ``(id, eval_overlap)`` for every contaminated document.
+
+    100 TB shape: the eval side is a benchmark suite — thousands of
+    documents, not billions — so its distinct shingle set is explicitly
+    ``broadcast()``: the training corpus is scanned ONCE, each task
+    probes the in-memory eval-shingle hash table (no shuffle of the
+    corpus for the join), and only (id, overlap) pairs — bounded by
+    contaminated-doc count — reach the map-side-combined groupBy. The
+    final drop is a broadcast LEFT ANTI join on the (small) report.
+    """
+    doc_sh = char_shingles(docs, text_col, id_col, k)
+    eval_sh = char_shingles(eval_docs, text_col, id_col, k).select("shingle").distinct()
+    report = (
+        doc_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("eval_overlap"))
+        .filter(F.col("eval_overlap") >= min_overlap)
+    )
+    clean = docs.join(F.broadcast(report.select(id_col)), id_col, "left_anti")
+    return clean, report

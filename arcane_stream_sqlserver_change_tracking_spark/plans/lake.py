@@ -82,6 +82,7 @@ import os
 import shutil
 import time
 import uuid
+from collections.abc import Sequence
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
@@ -90,7 +91,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.keys import BUCKET_HASH_NAME, MERGE_KEY_COL, bucket_expr
+from ..functions.keys import (
+    BUCKET_HASH_NAME,
+    ESSENTIAL_FIELDS,
+    MERGE_KEY_COL,
+    bucket_expr,
+)
 
 _BUCKET = "__bucket"
 
@@ -357,6 +363,27 @@ class LakeTable:
             )
         return best
 
+    def snapshot_as_of_version(self, change_version: int) -> Snapshot:
+        """Time travel by CHANGE-FEED position: the latest snapshot
+        whose committed watermark is at or below ``change_version`` —
+        "the replica as it stood once change v had been applied". The
+        natural cursor for CDF consumers (``changes_between``), since
+        snapshot ids are an internal sequence but change versions are
+        the source's public clock (SYS_CHANGE_VERSION)."""
+        best: Snapshot | None = None
+        for sid in self.snapshot_log():
+            s = self.snapshot(sid)
+            wm = (s.watermark or {}).get("version")
+            if wm is None or wm > change_version:
+                continue
+            if best is None or (best.watermark or {}).get("version", -1) <= wm:
+                best = s
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or below change version {change_version} in {self.root}"
+            )
+        return best
+
     def snapshot_log(self) -> list[int]:
         if not os.path.isdir(self.meta_dir):
             return []
@@ -585,6 +612,64 @@ class LakeTable:
             return self.spark.createDataFrame([], snap.schema)
         paths = [os.path.join(self.root, f["path"]) for f in files]
         return self.spark.read.schema(snap.schema).parquet(*paths)
+
+    def changes_between(
+        self,
+        from_snapshot_id: int,
+        to_snapshot_id: int,
+        key_columns: Sequence[str] | None = None,
+    ) -> DataFrame:
+        """Change Data Feed: row-level diff ``from`` → ``to``, planned
+        from the manifest delta (see operators/cdf.py module doc).
+
+        Copy-on-write invariant: a bucket whose manifest entry names the
+        SAME manifest file in both snapshots was not rewritten between
+        them, so no row in it changed — those buckets are pruned before
+        any data IO. Scan cost is O(touched buckets), not O(table), on
+        both sides; the diff itself is one hash exchange per side plus a
+        codegen projection (operators/cdf.snapshot_diff).
+
+        ``key_columns`` defaults to the table's recorded ``key_columns``
+        property. Works across additive schema evolution: columns added
+        between the snapshots are compared as null on the old side and
+        surface as updates.
+        """
+        from ..operators.cdf import snapshot_diff
+
+        old = self.snapshot(from_snapshot_id)
+        new = self.snapshot(to_snapshot_id)
+        keys = list(
+            key_columns
+            if key_columns is not None
+            else new.properties.get("key_columns") or []
+        )
+        if not keys:
+            raise ValueError(
+                "changes_between needs key columns: none passed and none "
+                "recorded in table properties"
+            )
+
+        def _ident(m: dict[str, Any]) -> Any:
+            return m.get("path")
+
+        touched = sorted(
+            b
+            for b in set(old.bucket_manifests) | set(new.bucket_manifests)
+            if _ident(old.bucket_manifests.get(b, {}))
+            != _ident(new.bucket_manifests.get(b, {}))
+        )
+        payload_cols = [
+            f.name
+            for f in new.schema.fields
+            if f.name not in keys and f.name not in ESSENTIAL_FIELDS
+        ]
+        old_df = self.read(buckets=touched, snapshot_id=from_snapshot_id)
+        new_df = self.read(buckets=touched, snapshot_id=to_snapshot_id)
+        keep_old = [c for c in keys + payload_cols if c in old_df.columns]
+        keep_new = [c for c in keys + payload_cols if c in new_df.columns]
+        return snapshot_diff(
+            old_df.select(*keep_old), new_df.select(*keep_new), keys
+        )
 
     # ------------------------------------------------------------------
     # write path

@@ -63,9 +63,15 @@ BENCH_QUERIES = [
     "embedding_near_dup_lsh",
     "session_stats",
     "windowed_event_counts",
+    # scd2_history: one-Exchange lead-window over the full feed.
+    # lake_change_feed stays out: its cost is two cdc_engine_e2e-shaped
+    # engine builds (already timed) around a touched-bucket diff.
+    "scd2_history",
     "token_counts",
     "lang_id",
     "quality_score",
+    "decontaminate",
+    "pii_redact",
 ]
 
 TRANSCRIPT_PAYLOAD = T.StructType(

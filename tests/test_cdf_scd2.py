@@ -1,0 +1,241 @@
+"""Change Data Feed (snapshot diff) and SCD2 history operators."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from arcane_stream_sqlserver_change_tracking_spark.functions.keys import (
+    MERGE_KEY_COL,
+    OPERATION_COL,
+    VERSION_COL,
+    bucket_expr,
+    merge_key_expr,
+)
+from arcane_stream_sqlserver_change_tracking_spark.operators.cdf import (
+    CHANGE_TYPE_COL,
+    CT_DELETE,
+    CT_INSERT,
+    CT_UPDATE,
+    snapshot_diff,
+)
+from arcane_stream_sqlserver_change_tracking_spark.operators.scd2 import (
+    scd2_history,
+)
+from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+    CdcEngine,
+    EngineOptions,
+)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff (pure DataFrame layer)
+# ---------------------------------------------------------------------------
+
+def _state(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long, txt string")
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    old = _state(spark, [("a", 1, "x"), ("b", 2, "y"), ("c", 3, "z")])
+    new = _state(spark, [("a", 1, "x"), ("b", 20, "y"), ("d", 4, "w")])
+    got = {
+        r["k"]: (r[CHANGE_TYPE_COL], r["v"], r["txt"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        "b": (CT_UPDATE, 20, "y"),   # post-image
+        "c": (CT_DELETE, 3, "z"),    # pre-image
+        "d": (CT_INSERT, 4, "w"),
+    }
+    # unchanged key "a" emits nothing
+
+
+def test_snapshot_diff_identical_states_empty(spark):
+    s = _state(spark, [("a", 1, None), ("b", None, "y")])
+    assert snapshot_diff(s, s, ["k"]).count() == 0
+
+
+def test_snapshot_diff_null_safe_compare(spark):
+    old = _state(spark, [("a", 1, None)])
+    new = _state(spark, [("a", 1, "now-set")])
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert len(rows) == 1 and rows[0][CHANGE_TYPE_COL] == CT_UPDATE
+
+
+def test_snapshot_diff_schema_evolution_added_column(spark):
+    old = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
+    new = spark.createDataFrame(
+        [("a", 1, "t1"), ("b", 2, None)], "k string, v long, tool string"
+    )
+    got = {r["k"]: r for r in snapshot_diff(old, new, ["k"]).collect()}
+    # "a" gained a tool value → update; "b"'s tool is null both sides → silent
+    assert set(got) == {"a"}
+    assert got["a"][CHANGE_TYPE_COL] == CT_UPDATE and got["a"]["tool"] == "t1"
+
+
+# ---------------------------------------------------------------------------
+# LakeTable.changes_between (manifest-delta planning)
+# ---------------------------------------------------------------------------
+
+def _changelog(spark, rows):
+    """rows: (version, op, k, v)"""
+    df = spark.createDataFrame(
+        rows, f"{VERSION_COL} long, {OPERATION_COL} string, k string, v long"
+    )
+    return df
+
+
+def test_changes_between_prunes_untouched_buckets(spark, lake_root):
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = LakeTable(spark, os.path.join(lake_root, "t"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(key_columns=("k",), num_buckets=8, max_events_per_batch=10_000),
+    )
+    eng.bootstrap(payload)
+    base = [(i + 1, "U", f"key{i}", i) for i in range(64)]
+    eng.run_incremental(_changelog(spark, base))
+    s1 = table.current_snapshot()
+    # second batch touches exactly 3 keys: update, delete, insert
+    second = [(100, "U", "key1", 111), (101, "D", "key2", 0), (102, "U", "key999", 999)]
+    eng.run_incremental(_changelog(spark, second))
+    s2 = table.current_snapshot()
+
+    diff = table.changes_between(s1.snapshot_id, s2.snapshot_id)
+    got = {r["k"]: (r[CHANGE_TYPE_COL], r["v"]) for r in diff.collect()}
+    assert got == {
+        "key1": (CT_UPDATE, 111),
+        "key2": (CT_DELETE, 2),
+        "key999": (CT_INSERT, 999),
+    }
+
+    # manifest-delta planning: only the buckets the 3 keys hash to were
+    # rewritten; every other bucket's manifest entry is the same object
+    touched = {
+        b
+        for b in set(s1.bucket_manifests) | set(s2.bucket_manifests)
+        if s1.bucket_manifests.get(b, {}).get("path")
+        != s2.bucket_manifests.get(b, {}).get("path")
+    }
+    expect = {
+        r["b"]
+        for r in spark.createDataFrame([("key1",), ("key2",), ("key999",)], "k string")
+        .withColumn(MERGE_KEY_COL, merge_key_expr(["k"]))
+        .select(bucket_expr(MERGE_KEY_COL, 8).alias("b"))
+        .collect()
+    }
+    assert touched == expect
+    assert len(touched) < 8  # the diff scan skipped untouched buckets
+
+
+def test_snapshot_as_of_version_cdf_cursor(spark, lake_root):
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = LakeTable(spark, os.path.join(lake_root, "v"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(key_columns=("k",), num_buckets=4, max_events_per_batch=4),
+    )
+    eng.bootstrap(payload)
+    # 12 changes in ~3 count-balanced micro-batches; read the actual
+    # committed watermark sequence back rather than assuming boundaries
+    eng.run_incremental(
+        _changelog(spark, [(v, "U", f"k{v % 3}", v) for v in range(1, 13)])
+    )
+    wms = [
+        (table.snapshot(sid).watermark or {}).get("version")
+        for sid in table.snapshot_log()
+    ]
+    w1, w2 = [w for w in wms if w][0:2]  # first two batch watermarks
+    assert table.snapshot_as_of_version(w1).watermark["version"] == w1
+    # a cursor BETWEEN two watermarks resolves down to the earlier one
+    assert table.snapshot_as_of_version(w2 - 1).watermark["version"] == w1
+    assert table.snapshot_as_of_version(99).watermark["version"] == max(wms)
+    with pytest.raises(ValueError, match="no snapshot"):
+        table.snapshot_as_of_version(-1)
+    # CDF between two change-version cursors: versions w1+1..w2 touch
+    # all three keys (batches are ≥4 changes over a 3-key space)
+    a = table.snapshot_as_of_version(w1).snapshot_id
+    b = table.snapshot_as_of_version(w2).snapshot_id
+    diff = table.changes_between(a, b)
+    assert diff.count() == 3
+    assert {r["_change_type"] for r in diff.collect()} == {"update_postimage"}
+
+
+def test_changes_between_requires_keys(spark, lake_root):
+    t = LakeTable(spark, os.path.join(lake_root, "nk"))
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField(MERGE_KEY_COL, T.StringType())]
+    )
+    t.create(schema, num_buckets=2)  # no key_columns recorded
+    with pytest.raises(ValueError, match="key columns"):
+        t.changes_between(0, 0)
+
+
+# ---------------------------------------------------------------------------
+# scd2_history
+# ---------------------------------------------------------------------------
+
+def test_scd2_intervals_tile_and_delete_closes(spark):
+    log = _changelog(
+        spark,
+        [
+            (1, "U", "a", 10),
+            (3, "U", "a", 30),
+            (5, "D", "a", 0),
+            (7, "U", "a", 70),
+            (2, "U", "b", 20),
+            (4, "D", "c", 0),
+        ],
+    )
+    hist = scd2_history(log, ["k"], VERSION_COL, OPERATION_COL, ["v"])
+    rows = {
+        (r["k"], r["valid_from_version"]): (r["valid_to_version"], r["is_current"], r["v"])
+        for r in hist.collect()
+    }
+    assert rows == {
+        ("a", 1): (3, False, 10),
+        ("a", 3): (5, False, 30),   # closed by the delete
+        ("a", 7): (None, True, 70),  # reborn after delete
+        ("b", 2): (None, True, 20),
+    }
+    # key "c": delete-only → no history row
+    assert not any(k == "c" for k, _ in rows)
+
+
+def test_scd2_point_in_time_matches_replay(spark):
+    log = _changelog(
+        spark,
+        [(v, "D" if (v % 5 == 0) else "U", f"k{v % 7}", v * 10) for v in range(1, 40)],
+    )
+    hist = scd2_history(log, ["k"], VERSION_COL, OPERATION_COL, ["v"])
+    asof = 23
+    pit = hist.filter(
+        (F.col("valid_from_version") <= asof)
+        & (F.col("valid_to_version").isNull() | (F.col("valid_to_version") > asof))
+    ).select("k", "v")
+    # oracle: latest change per key at version <= asof, drop deletes
+    from arcane_stream_sqlserver_change_tracking_spark.operators.dedup import (
+        latest_change_per_key,
+    )
+    from arcane_stream_sqlserver_change_tracking_spark.functions.keys import (
+        with_merge_key,
+    )
+
+    replay = (
+        latest_change_per_key(
+            with_merge_key(log.filter(F.col(VERSION_COL) <= asof), ["k"])
+        )
+        .filter(F.col(OPERATION_COL) != "D")
+        .select("k", "v")
+    )
+    assert {tuple(r) for r in pit.collect()} == {tuple(r) for r in replay.collect()}

@@ -72,3 +72,53 @@ def test_jaccard_df_cap_bounds_adversarial_stop_shingle(spark):
     exact = {(r["a"], r["b"]): r["jaccard"] for r in uncapped.collect()}
     for r in capped.collect():
         assert r["jaccard"] <= exact[(r["a"], r["b"])]
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import (
+        decontaminate,
+    )
+
+    leak = "the quick brown fox jumps over the lazy dog"  # >16 chars shared
+    train = _docs(
+        spark,
+        [
+            (1, f"intro {leak} outro"),          # contaminated
+            (2, "completely unrelated content about spark plans"),
+            (3, leak),                            # contaminated, exact
+        ],
+    )
+    eval_docs = _docs(spark, [(100, f"benchmark question: {leak}?")])
+    clean, report = decontaminate(train, eval_docs, k=16)
+    flagged = {r["doc_id"]: r["eval_overlap"] for r in report.collect()}
+    assert set(flagged) == {1, 3}
+    assert all(v >= 1 for v in flagged.values())
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    # plan shape: eval side broadcast — the corpus never shuffles for
+    # the contamination join
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_redact_pii_expr_scrubs_both_patterns(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.text import (
+        redact_pii_expr,
+    )
+
+    df = _docs(
+        spark,
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+            (2, "call +1 (555) 010-4242 today"),
+            (3, "no pii here"),
+            (4, "two: a@b.io and 555 123 4567 done"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", redact_pii_expr("text").alias("t")).collect()
+    }
+    assert got[1] == "mail me at [EMAIL] thanks"
+    assert got[2] == "call [PHONE] today"
+    assert got[3] == "no pii here"
+    assert got[4] == "two: [EMAIL] and [PHONE] done"
