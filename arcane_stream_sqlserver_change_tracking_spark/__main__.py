@@ -89,11 +89,33 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--payload-columns", default="role,text,tool,ts",
                     help="poll mode: comma-separated non-PK columns")
     ap.add_argument("--fetch-size", type=int, default=256)
+    ap.add_argument("--spec", help="path to a reference-shaped stream spec "
+                                   "JSON (the STREAMCONTEXT__SPEC body); "
+                                   "engine options derive from it")
+    ap.add_argument("--spec-env", action="store_true",
+                    help="read the spec from $STREAMCONTEXT__SPEC (+ "
+                         "STREAMCONTEXT__STREAM_ID / __BACKFILL), the "
+                         "reference's boot path")
+    ap.add_argument("--statsd", help="statsd collector: host:port or "
+                                     "unix:///path (DogStatsD datagrams, "
+                                     "tagged with the spec's metricTags)")
     args = ap.parse_args(argv)
 
+    import dataclasses
     import os
 
     from .session import build_session
+
+    cfg = None
+    if args.spec_env:
+        from .config import load_spec_from_env
+
+        cfg = load_spec_from_env()
+    elif args.spec:
+        from .config import spec_to_config
+
+        with open(args.spec) as f:
+            cfg = spec_to_config(json.load(f))
 
     # launcher-owned session: spark-submit's master/parallelism/local
     # dirs are untouched (standalone=False); engine confs + the hadoop
@@ -106,16 +128,38 @@ def main(argv: list[str] | None = None) -> int:
         standalone=False,
     )
     table = LakeTable(spark, args.table)
-    eng = CdcEngine(
-        spark, table,
-        EngineOptions(
+    if cfg is not None:
+        # spec-derived options; launcher-only knobs layered on top
+        options = dataclasses.replace(
+            cfg.options,
+            num_buckets=args.num_buckets,
+            normalize_text_columns=("text",),
+        )
+    else:
+        options = EngineOptions(
             num_buckets=args.num_buckets,
             max_events_per_batch=args.max_events_per_batch,
             normalize_text_columns=("text",),
-        ),
-    )
+        )
+    emitters = []
+    if args.statsd:
+        from .streaming.metrics import StatsdEmitter
+
+        emitters.append(StatsdEmitter(
+            args.statsd,
+            global_tags=cfg.metric_tags if cfg is not None else {},
+        ))
+    eng = CdcEngine(spark, table, options, emitters=emitters)
     if args.bootstrap and not table.exists():
         eng.bootstrap(_payload_schema())
+
+    mode = args.mode
+    if cfg is not None and cfg.backfill and mode in ("replay", "stream"):
+        # STREAMCONTEXT__BACKFILL=true turns the same launch into a
+        # backfill run (reference justfile:46-49: the env flag, not the
+        # command, selects the mode)
+        print(json.dumps({"notice": "STREAMCONTEXT__BACKFILL=true -> backfill mode"}))
+        mode = "backfill"
 
     def _changelog():
         if args.events:
@@ -124,15 +168,18 @@ def main(argv: list[str] | None = None) -> int:
             ap.error("--changelog or --events required")
         return spark.read.parquet(args.changelog)
 
-    if args.mode == "replay":
+    if mode == "replay":
         results = eng.run_incremental(_changelog())
         for r in results:
             print(json.dumps(vars(r)))
-    elif args.mode == "backfill":
-        eng.backfill(_changelog(), behavior=args.behavior, shards=args.shards)
-        print(json.dumps({"backfill": args.behavior,
+    elif mode == "backfill":
+        behavior = args.behavior
+        if cfg is not None and "--behavior" not in (argv or sys.argv):
+            behavior = cfg.backfill_behavior  # streamMode.backfill spec default
+        eng.backfill(_changelog(), behavior=behavior, shards=args.shards)
+        print(json.dumps({"backfill": behavior,
                           "watermark": table.watermark()}))
-    elif args.mode == "stream":
+    elif mode == "stream":
         if not args.landing:
             ap.error("--landing required in stream mode")
         schema = spark.read.parquet(args.landing).schema
@@ -144,10 +191,10 @@ def main(argv: list[str] | None = None) -> int:
             available_now=args.available_now,
         )
         q.awaitTermination()
-    elif args.mode == "maintain":
+    elif mode == "maintain":
         eng.run_maintenance()
         print(json.dumps(table.analyze()))
-    elif args.mode == "poll":
+    elif mode == "poll":
         from .sources.mssql import MsSqlSource
 
         if not (args.jdbc_url and args.source_table):

@@ -1,0 +1,271 @@
+"""Spec-driven launch configuration — the ``STREAMCONTEXT__SPEC`` surface.
+
+The reference boots from environment variables: ``STREAMCONTEXT__SPEC``
+holds the stream's full JSON spec (the CRD ``spec`` body — shape pinned
+by /root/reference/dev.env.example and
+.helm/templates/crd-microsoft-sql-server-stream.yaml), with
+``STREAMCONTEXT__STREAM_ID``, ``STREAMCONTEXT__STREAM_KIND`` and
+``STREAMCONTEXT__BACKFILL`` alongside
+(MicrosoftSqlServerPluginStreamContext.scala:33-38). This module maps
+that spec onto the Spark engine's own knobs so a deployment written
+for the reference launches this engine unchanged::
+
+    STREAMCONTEXT__SPEC='{"sink": {...}, "source": {...}}' \
+        python -m arcane_stream_sqlserver_change_tracking_spark \
+        --mode replay --table /lake/t --spec-env
+
+Validation errors name the offending CRD field path
+(``sink.mergeServiceClient.queryRetryMode``), not a Python attribute,
+so a platform operator can fix the manifest without reading this code.
+
+Unmapped spec sections are deliberate, documented drops: Iceberg REST
+catalog coordinates (``sink.icebergCatalog`` / ``staging.icebergCatalog``
+— this engine's lake IS the table format; the Iceberg metadata export
+seam is plans/iceberg_export.py), Trino connection parameters
+(``mergeServiceClient.connectionUrl`` etc. — MERGE runs in-engine, not
+on a remote SQL engine), and the memory-bound throughput shaper
+parameters (COVERAGE.md T2: Spark's memory manager owns this).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from .operators.fields import FieldFilter
+from .streaming.runner import EngineOptions
+
+SPEC_ENV = "STREAMCONTEXT__SPEC"
+STREAM_ID_ENV = "STREAMCONTEXT__STREAM_ID"
+BACKFILL_ENV = "STREAMCONTEXT__BACKFILL"
+
+
+class SpecError(ValueError):
+    """A spec field is missing or malformed; message names the CRD path."""
+
+
+_DURATION_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(ms|s|second|seconds|m|minute|minutes|h|hour|hours)\s*$")
+_DURATION_UNITS = {"ms": 0.001, "s": 1, "second": 1, "seconds": 1,
+                   "m": 60, "minute": 60, "minutes": 60,
+                   "h": 3600, "hour": 3600, "hours": 3600}
+
+_SIZE_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(B|KB|MB|GB|TB)\s*$", re.IGNORECASE)
+_SIZE_UNITS = {"b": 1, "kb": 1024, "mb": 1024**2, "gb": 1024**3, "tb": 1024**4}
+
+
+def parse_duration_seconds(text: str, path: str) -> float:
+    """``"60 second"`` / ``"6h"`` → seconds (reference duration strings)."""
+    m = _DURATION_RE.match(str(text))
+    if not m:
+        raise SpecError(f"{path}: not a duration: {text!r} (want e.g. '60 second', '6h')")
+    return float(m.group(1)) * _DURATION_UNITS[m.group(2)]
+
+
+def parse_size_bytes(text: str, path: str) -> int:
+    """``"512MB"`` → bytes (reference fileSizeThreshold strings)."""
+    m = _SIZE_RE.match(str(text))
+    if not m:
+        raise SpecError(f"{path}: not a size: {text!r} (want e.g. '512MB')")
+    return int(float(m.group(1)) * _SIZE_UNITS[m.group(2).lower()])
+
+
+def _get(spec: Any, path: str, default: Any = ...) -> Any:
+    node = spec
+    for part in path.split("."):
+        if not isinstance(node, dict) or part not in node:
+            if default is ...:
+                raise SpecError(f"{path}: required field missing")
+            return default
+        node = node[part]
+    return node
+
+
+def _variant(node: Any, path: str, allowed: dict[str, str],
+             default: str) -> str:
+    """The reference encodes enums as single-key objects
+    (``"queryRetryMode": {"always": {}}``); map the key through
+    ``allowed`` (spec key → engine value)."""
+    if node is None or node == {}:
+        return default
+    if not isinstance(node, dict) or len(node) != 1:
+        raise SpecError(f"{path}: expected a single-variant object, got {node!r}")
+    key = next(iter(node))
+    if key not in allowed:
+        raise SpecError(f"{path}: unknown variant {key!r} (one of {sorted(allowed)})")
+    return allowed[key]
+
+
+@dataclass
+class SourceSpec:
+    schema_name: str = "dbo"
+    table_name: str | None = None
+    fetch_size: int = 256
+
+
+@dataclass
+class SpecConfig:
+    """Everything the launcher needs, derived from one spec JSON."""
+
+    options: EngineOptions
+    source: SourceSpec
+    stream_id: str = ""
+    backfill: bool = False
+    backfill_behavior: str = "overwrite"      # streamMode.backfill.backfillBehavior
+    trigger_seconds: float = 15.0             # changeCaptureInterval
+    jitter_seed: int = 0
+    jitter_variance_seconds: float = 0.0
+    metric_tags: dict[str, str] = field(default_factory=dict)
+    analyze_included_columns: list[str] | None = None
+    analyze_interval_batches: int | None = None
+    parquet_bloom_filter_columns: list[str] = field(default_factory=list)
+    target_table: str = ""
+
+
+def spec_to_config(spec: dict[str, Any], stream_id: str = "",
+                   backfill: bool = False) -> SpecConfig:
+    """Map a reference-shaped spec JSON to engine configuration.
+
+    Raises :class:`SpecError` naming the CRD field path on anything
+    missing or malformed."""
+    if not isinstance(spec, dict):
+        raise SpecError("spec: expected a JSON object")
+
+    merge = _get(spec, "sink.mergeServiceClient", {}) or {}
+    retry_mode = _variant(
+        merge.get("queryRetryMode"),
+        "sink.mergeServiceClient.queryRetryMode",
+        {"always": "always", "never": "never", "backfillOnly": "backfillOnly"},
+        default="never",
+    )
+    retry_base = merge.get("queryRetryBaseDuration", "1 second")
+    retry_contents = merge.get("queryRetryOnMessageContents", [])
+    if not isinstance(retry_contents, list):
+        raise SpecError("sink.mergeServiceClient.queryRetryOnMessageContents: expected a list")
+
+    sorted_by = _get(spec, "sink.targetTableProperties.sortedBy", []) or []
+    bloom = _get(spec, "sink.targetTableProperties.parquetBloomFilterColumns", []) or []
+    if not isinstance(sorted_by, list):
+        raise SpecError("sink.targetTableProperties.sortedBy: expected a list")
+
+    maint = _get(spec, "sink.maintenanceSettings", {}) or {}
+    optimize = maint.get("targetOptimizeSettings", {}) or {}
+    orphans = maint.get("targetOrphanFilesExpirationSettings", {}) or {}
+    analyze = maint.get("targetAnalyzeSettings", {}) or {}
+
+    rule_node = _get(spec, "source.fieldSelectionRule.rule", {"all": {}})
+    rule = _variant(
+        rule_node, "source.fieldSelectionRule.rule",
+        {"all": "all", "include": "include", "exclude": "exclude"},
+        default="all",
+    )
+    rule_fields: tuple[str, ...] = ()
+    if isinstance(rule_node, dict) and rule_node:
+        body = rule_node.get(next(iter(rule_node))) or {}
+        rule_fields = tuple(body.get("fields", []) if isinstance(body, dict) else ())
+    essential = _get(spec, "source.fieldSelectionRule.essentialFields", []) or []
+    ff_kwargs: dict[str, Any] = {"rule": rule, "fields": rule_fields}
+    if essential:
+        ff_kwargs["essential"] = tuple(essential)
+
+    chunk = _get(spec, "throughput.advisedChunkSize", 500_000)
+    if not isinstance(chunk, int) or chunk <= 0:
+        raise SpecError("throughput.advisedChunkSize: expected a positive integer")
+
+    # shaperImpl: the CRD allows both variants present with null bodies
+    # (crd beta default); the ACTIVE one is the non-null object, static
+    # when none is
+    shaper_node = _get(spec, "throughput.shaperImpl", {}) or {}
+    if not isinstance(shaper_node, dict):
+        raise SpecError("throughput.shaperImpl: expected an object")
+    active = [k for k, v in shaper_node.items() if isinstance(v, dict)]
+    if len(active) > 1:
+        raise SpecError(
+            f"throughput.shaperImpl: multiple active variants {sorted(active)}")
+    shaper_impl = active[0] if active else "static"
+    if shaper_impl not in ("static", "memoryBound"):
+        raise SpecError(
+            f"throughput.shaperImpl: unknown variant {shaper_impl!r} "
+            "(static|memoryBound)")
+
+    options = EngineOptions(
+        max_events_per_batch=chunk,
+        shaper_impl=shaper_impl,
+        max_rows_per_file=int(_get(spec, "staging.table.maxRowsPerFile", 1_000_000)),
+        sort_within=tuple(sorted_by),
+        retry_max_attempts=int(merge.get("queryRetryMaxAttempts", 3)),
+        retry_base_seconds=parse_duration_seconds(
+            retry_base, "sink.mergeServiceClient.queryRetryBaseDuration"),
+        retry_scale_factor=float(merge.get("queryRetryScaleFactor", 2.0)),
+        retry_on_message_contents=tuple(retry_contents),
+        retry_mode=retry_mode,
+        maintenance_interval_batches=int(optimize.get("batchThreshold", 60)),
+        compact_file_threshold_bytes=parse_size_bytes(
+            optimize.get("fileSizeThreshold", "512MB"),
+            "sink.maintenanceSettings.targetOptimizeSettings.fileSizeThreshold"),
+        orphan_min_age_seconds=parse_duration_seconds(
+            orphans.get("retentionThreshold", "6h"),
+            "sink.maintenanceSettings.targetOrphanFilesExpirationSettings.retentionThreshold"),
+        field_filter=FieldFilter(**ff_kwargs),
+    )
+
+    cc = _get(spec, "streamMode.changeCapture", {}) or {}
+    variance = float(cc.get("changeCaptureJitterVariance", 0.0))
+    interval = parse_duration_seconds(
+        cc.get("changeCaptureInterval", "15 second"),
+        "streamMode.changeCapture.changeCaptureInterval")
+
+    tags = _get(spec, "observability.metricTags", {}) or {}
+    if not isinstance(tags, dict):
+        raise SpecError("observability.metricTags: expected an object")
+    if stream_id:
+        tags = {"stream_id": stream_id, **tags}
+
+    behavior = str(_get(spec, "streamMode.backfill.backfillBehavior", "Overwrite"))
+    if behavior.lower() not in ("overwrite", "merge"):
+        raise SpecError(
+            "streamMode.backfill.backfillBehavior: expected Overwrite|Merge, "
+            f"got {behavior!r}")
+
+    included = analyze.get("includedColumns", None)
+
+    return SpecConfig(
+        options=options,
+        source=SourceSpec(
+            schema_name=str(_get(spec, "source.configuration.schemaName", "dbo")),
+            table_name=_get(spec, "source.configuration.tableName", None),
+            fetch_size=int(_get(spec, "source.configuration.fetchSize", 256)),
+        ),
+        stream_id=stream_id,
+        backfill=backfill,
+        backfill_behavior=behavior.lower(),
+        trigger_seconds=interval,
+        jitter_seed=int(cc.get("changeCaptureJitterSeed", 0)),
+        jitter_variance_seconds=interval * variance,
+        metric_tags={str(k): str(v) for k, v in tags.items()},
+        analyze_included_columns=(list(included) if included is not None else None),
+        analyze_interval_batches=(
+            int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None),
+        parquet_bloom_filter_columns=list(bloom),
+        target_table=str(_get(spec, "sink.targetTableFullName", "")),
+    )
+
+
+def load_spec_from_env(env: dict[str, str] | None = None) -> SpecConfig:
+    """Read ``STREAMCONTEXT__SPEC`` (+ stream id and backfill flag)
+    from the environment — the reference's boot path."""
+    env = dict(os.environ if env is None else env)
+    raw = env.get(SPEC_ENV)
+    if not raw:
+        raise SpecError(f"{SPEC_ENV}: environment variable not set or empty")
+    try:
+        spec = json.loads(raw)
+    except json.JSONDecodeError as e:
+        raise SpecError(f"{SPEC_ENV}: invalid JSON: {e}") from None
+    return spec_to_config(
+        spec,
+        stream_id=env.get(STREAM_ID_ENV, ""),
+        backfill=env.get(BACKFILL_ENV, "false").strip().lower() in ("1", "true", "yes"),
+    )

@@ -452,6 +452,120 @@ WHERE s1.user_id IS NULL OR s2.user_id IS NULL
 """
 
 
+def q_cdf_cursor_drain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDF consumer (operators/cdf.CdfCursor): the engine
+    commits the changelog in THREE increments; after each commit a
+    checkpointed cursor polls the feed and the three drained increments
+    (tagged 1/2/3) are unioned. Increment 1 is the initial load
+    (changes from the empty created snapshot = every live row as
+    insert); 2 and 3 are manifest-delta-planned diffs. Oracle = the
+    same three stepwise FULL OUTER diffs at version cutoffs n/3 and
+    2n/3. Crash-resume (poll without commit replays identically) is
+    pinned by tests/test_cdf_scd2.py."""
+    import pyarrow.parquet as pq
+
+    from .operators.cdf import CdfCursor
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    n_events = pq.ParquetFile(os.path.join(sf_dir, "events.parquet")).metadata.num_rows
+    cut1, cut2 = n_events // 3, 2 * n_events // 3
+    root = tempfile.mkdtemp(prefix="cdc_cursor_")
+    table = LakeTable(spark, os.path.join(root, "t"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(
+            key_columns=("user_id",),
+            num_buckets=16,
+            max_events_per_batch=n_events,  # one commit per increment
+        ),
+    )
+    eng.bootstrap(payload)
+    log = events_as_changelog(_t(spark, sf_dir, "events"))
+    cursor = CdfCursor(table, os.path.join(root, "cursor.json"))
+    increments: list[DataFrame] = []
+    for seq, upper in enumerate((cut1, cut2, n_events), start=1):
+        eng.run_incremental(log.filter(F.col(VERSION_COL) <= upper))
+        polled = cursor.poll()
+        assert polled is not None
+        df, upto = polled
+        increments.append(df.withColumn("inc", F.lit(seq)))
+        cursor.commit(upto)
+    assert cursor.poll() is None  # caught up after the drain
+    out = increments[0]
+    for df in increments[1:]:
+        out = out.unionByName(df)
+    return out.select(
+        "inc", "user_id", "ts", "event_type", "value", "props", "_change_type"
+    )
+
+
+SQL_CDF_CURSOR = f"""
+WITH {_LOG_CTE},
+cuts AS (SELECT count(*) // 3 AS c1, 2 * count(*) // 3 AS c2 FROM events),
+r1 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log WHERE sys_change_version <= (SELECT c1 FROM cuts)),
+s1 AS (SELECT user_id, ts, event_type, value, props
+       FROM r1 WHERE rn = 1 AND sys_change_operation <> 'D'),
+r2 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log WHERE sys_change_version <= (SELECT c2 FROM cuts)),
+s2 AS (SELECT user_id, ts, event_type, value, props
+       FROM r2 WHERE rn = 1 AND sys_change_operation <> 'D'),
+r3 AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY sys_change_version DESC) AS rn
+  FROM log),
+s3 AS (SELECT user_id, ts, event_type, value, props
+       FROM r3 WHERE rn = 1 AND sys_change_operation <> 'D'),
+d1 AS (SELECT 1 AS inc, user_id, ts, event_type, value, props,
+              'insert' AS _change_type
+       FROM s1),
+d2 AS (SELECT 2 AS inc,
+              coalesce(b.user_id, a.user_id) AS user_id,
+              CASE WHEN b.user_id IS NULL THEN a.ts ELSE b.ts END AS ts,
+              CASE WHEN b.user_id IS NULL THEN a.event_type ELSE b.event_type END AS event_type,
+              CASE WHEN b.user_id IS NULL THEN a.value ELSE b.value END AS value,
+              CASE WHEN b.user_id IS NULL THEN a.props ELSE b.props END AS props,
+              CASE WHEN a.user_id IS NULL THEN 'insert'
+                   WHEN b.user_id IS NULL THEN 'delete'
+                   ELSE 'update_postimage' END AS _change_type
+       FROM s1 a FULL OUTER JOIN s2 b ON a.user_id = b.user_id
+       WHERE a.user_id IS NULL OR b.user_id IS NULL
+          OR a.ts IS DISTINCT FROM b.ts
+          OR a.event_type IS DISTINCT FROM b.event_type
+          OR a.value IS DISTINCT FROM b.value
+          OR a.props IS DISTINCT FROM b.props),
+d3 AS (SELECT 3 AS inc,
+              coalesce(b.user_id, a.user_id) AS user_id,
+              CASE WHEN b.user_id IS NULL THEN a.ts ELSE b.ts END AS ts,
+              CASE WHEN b.user_id IS NULL THEN a.event_type ELSE b.event_type END AS event_type,
+              CASE WHEN b.user_id IS NULL THEN a.value ELSE b.value END AS value,
+              CASE WHEN b.user_id IS NULL THEN a.props ELSE b.props END AS props,
+              CASE WHEN a.user_id IS NULL THEN 'insert'
+                   WHEN b.user_id IS NULL THEN 'delete'
+                   ELSE 'update_postimage' END AS _change_type
+       FROM s2 a FULL OUTER JOIN s3 b ON a.user_id = b.user_id
+       WHERE a.user_id IS NULL OR b.user_id IS NULL
+          OR a.ts IS DISTINCT FROM b.ts
+          OR a.event_type IS DISTINCT FROM b.event_type
+          OR a.value IS DISTINCT FROM b.value
+          OR a.props IS DISTINCT FROM b.props)
+SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3
+"""
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 history from the raw change feed (operators/scd2.py):
     one validity interval per non-delete change, closed by the key's
@@ -481,6 +595,42 @@ SELECT user_id, event_type, value, props,
        (valid_to_version IS NULL) AS is_current
 FROM w WHERE op <> 'D'
 """
+
+
+def q_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained SCD2 lake table (operators/scd2_table.Scd2Table): the
+    changelog applied in THREE micro-batches as copy-on-write bucket
+    replacements (retained keys pass through aligned, touched keys'
+    intervals recomputed from a small window), then the committed
+    table read back. Oracle = the same one-shot lead-window SQL as
+    scd2_history — the invariant is batch-incremental == one-shot."""
+    from .operators.scd2_table import Scd2Table
+
+    payload = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    log = events_as_changelog(_t(spark, sf_dir, "events")).select(
+        "user_id", VERSION_COL, OPERATION_COL, "event_type", "value", "props"
+    )
+    n = log.count()
+    root = tempfile.mkdtemp(prefix="scd2_inc_")
+    hist = Scd2Table(
+        LakeTable(spark, os.path.join(root, "t")),
+        key_columns=["user_id"],
+        num_buckets=16,
+    )
+    hist.bootstrap(payload)
+    for upper in (n // 3, 2 * n // 3, n):
+        hist.apply_batch(log.filter(F.col(VERSION_COL) <= upper))
+    return hist.history().select(
+        "user_id", "event_type", "value", "props",
+        "valid_from_version", "valid_to_version", "is_current",
+    )
 
 
 def q_mssql_changetable_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,7 +1357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcripts_cdc_e2e": q_transcripts_cdc_e2e,
         "mssql_changetable_feed": q_mssql_changetable_feed,
         "lake_change_feed": q_lake_change_feed,
+        "cdf_cursor_drain": q_cdf_cursor_drain,
         "scd2_history": q_scd2_history,
+        "scd2_incremental": q_scd2_incremental,
         "exact_dedup": q_exact_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -1247,7 +1399,9 @@ def oracle_sql() -> dict[str, str]:
         "transcripts_cdc_e2e": SQL_TRANSCRIPTS_E2E,
         "mssql_changetable_feed": SQL_MSSQL_FEED,
         "lake_change_feed": SQL_CHANGE_FEED,
+        "cdf_cursor_drain": SQL_CDF_CURSOR,
         "scd2_history": SQL_SCD2,
+        "scd2_incremental": SQL_SCD2,
         "exact_dedup": SQL_EXACT_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),

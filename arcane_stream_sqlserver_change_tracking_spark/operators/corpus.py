@@ -209,6 +209,7 @@ def token_vocab(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 100,
+    exact_doc_freq: bool = True,
 ) -> DataFrame:
     """Corpus vocabulary: the ``top_k`` whitespace tokens by total
     count, with document frequency — the first step of BPE training /
@@ -221,13 +222,28 @@ def token_vocab(
     TakeOrderedAndProject: each partition keeps its local top-k heap
     and only k rows per partition reach the driver-side merge — never
     a global sort. Ties broken by token text so the result set is
-    deterministic across engines and partitionings."""
+    deterministic across engines and partitionings.
+
+    ``exact_doc_freq``: exact ``countDistinct`` triggers Spark's
+    distinct-aggregate rewrite — measured on Spark 4.1: four
+    HashAggregate stages over TWO Exchanges (partial/merge keyed by
+    (token, doc_id), then partial/final by token) — exact is the
+    oracle default and fine to sf-scale, but at corpus scale pass
+    ``False`` to use ``approx_count_distinct`` (HyperLogLog++, ~2%
+    relative error): the sketch is mergeable, so the plan collapses to
+    the ordinary map-side-combined shape — ONE Exchange carrying one
+    sketch per (partition, token). Plan shapes pinned by
+    tests/test_corpus.py."""
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
     ).filter(F.col("token") != "")
+    doc_freq = (
+        F.countDistinct(id_col) if exact_doc_freq
+        else F.approx_count_distinct(id_col)
+    )
     agg = toks.groupBy("token").agg(
         F.count("*").alias("total_count"),
-        F.countDistinct(id_col).alias("doc_freq"),
+        doc_freq.alias("doc_freq"),
     )
     return agg.orderBy(F.col("total_count").desc(), F.col("token")).limit(top_k)
 

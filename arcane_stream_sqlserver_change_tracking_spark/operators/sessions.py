@@ -165,9 +165,18 @@ def sessionize_stream(
     held indefinitely) for bounded-key / test scenarios where the caller
     manages the stream's lifetime.
 
-    Late-but-in-watermark events (cross-batch out-of-order) extend the
-    open session via min/max rather than moving its frontier backwards,
-    matching the batch :func:`sessionize` twin's global-sort semantics.
+    Late-but-in-watermark events (cross-batch out-of-order) are merged
+    with the open session by interval union: an event within
+    ``gap_seconds`` of the open session's span joins it (extending
+    either end), while an event more than a gap EARLIER than the open
+    session's start is emitted as its own separate earlier session —
+    exactly what the batch :func:`sessionize` twin's global sort
+    produces. The twins can still diverge in one scoped case: a late
+    event belonging to a session this operator already emitted in a
+    PRIOR micro-batch starts a new session here (the emitted interval
+    is gone from state), whereas the batch twin would have folded it
+    in. Within a watermark chosen ≥ the true out-of-orderness, the
+    outputs are identical.
 
     This is the (c)-tier custom-operator pattern: Arrow-batched per-key
     state transition, no per-row Python beyond the per-event fold the
@@ -208,21 +217,29 @@ def sessionize_stream(
         ts_us = (
             pd.concat(chunks).sort_values() if chunks else pd.Series([], dtype="int64")
         )
-        for t in ts_us:
-            t = int(t)
-            if last_us is None:
-                start_us, last_us, n = t, t, 1
-            elif t - last_us > gap_us:
-                closed.append((uid, start_us, last_us, n))
-                start_us, last_us, n = t, t, 1
+        # interval union of (open session ∪ batch events), replaying the
+        # batch twin's sorted fold: adjacent intervals closer than the
+        # gap merge; everything but the LAST interval is definitively
+        # closed (the next interval sits > gap away). An event that
+        # lands inside or within a gap of the open span extends it; one
+        # more than a gap EARLIER becomes its own earlier session, as
+        # the batch twin's global sort would emit it.
+        items: list[list[int]] = [[int(t), int(t), 1] for t in ts_us]
+        if last_us is not None:
+            items.append([start_us, last_us, n])
+        items.sort(key=lambda iv: (iv[0], iv[1]))
+        intervals: list[list[int]] = []  # [start_us, last_us, n]
+        for iv in items:
+            if intervals and iv[0] - intervals[-1][1] <= gap_us:
+                intervals[-1][1] = max(intervals[-1][1], iv[1])
+                intervals[-1][2] += iv[2]
             else:
-                # t may be BELOW last_us (late event from a prior batch,
-                # still inside the watermark): extend the session without
-                # regressing the frontier, else the next in-order event
-                # could spuriously split it
-                start_us = min(start_us, t)
-                last_us = max(last_us, t)
-                n += 1
+                intervals.append(iv)
+        if intervals:
+            closed.extend(
+                (uid, s, e, c) for s, e, c in intervals[:-1]
+            )
+            start_us, last_us, n = intervals[-1]
         if last_us is None:
             # a group can be invoked with zero rows (empty Arrow chunk)
             # before any state exists; storing (None, None, 0) would

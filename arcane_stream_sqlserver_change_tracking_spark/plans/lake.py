@@ -77,12 +77,14 @@ Layout::
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
 import uuid
 from collections.abc import Sequence
+from contextlib import contextmanager
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
@@ -266,50 +268,50 @@ class LakeTable:
         -1 for a missing pointer (pre-create table)."""
         return int(name[1:9]) if name else -1
 
-    #: a writer that dies holding the pointer lock must not wedge the
-    #: table forever; the critical section is two tiny file ops, so any
-    #: lock older than this is a crash artifact and is broken
-    POINTER_LOCK_STALE_SECONDS = 10.0
+    @contextmanager
+    def _meta_lock(self, name: str, deadline_seconds: float = 30.0):
+        """Exclusive advisory lock on ``metadata/<name>`` via
+        ``fcntl.flock``. The kernel releases a flock when its holder's
+        fd closes — including on crash — so there is no stale-lock
+        state to judge and no lock-breaking protocol to race on (an
+        unlink-based break lets two contenders both judge a lock stale
+        and the slower remove delete a lock a THIRD process just
+        acquired, re-admitting two writers). The lock file itself is
+        permanent and never unlinked: unlinking would let a late opener
+        lock the orphaned inode while a fresh opener locks a new one.
+        On an object store this critical section collapses into one
+        conditional PUT (If-Match on ETag / generation); flock is the
+        POSIX stand-in."""
+        path = os.path.join(self.meta_dir, name)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        deadline = time.monotonic() + deadline_seconds
+        try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() > deadline:
+                        raise CommitConflictError(
+                            f"lock {path} held past deadline"
+                        ) from None
+                    time.sleep(0.005)
+            yield
+        finally:
+            os.close(fd)  # releases the flock
 
     def _swing_pointer(self, name: str) -> bool:
         """Conditionally advance ``_current`` to ``name`` — the table's
         one CAS. The swing happens only if the pointer still names an
         OLDER snapshot; a pointer at or past ``name`` is left untouched
-        (returns False). Check-then-swap runs under an exclusive lock
-        file (O_CREAT|O_EXCL), closing the race where a winner stalled
-        between publishing its snapshot file and swinging the pointer
-        resumes after a loser's roll-forward (or a later commit) and
-        would otherwise regress ``_current`` — readers must never see
-        the table go backwards. On an object store both halves collapse
-        into one conditional PUT (If-Match on the pointer's ETag /
-        generation); the lock file is the POSIX stand-in. A lock older
-        than ``POINTER_LOCK_STALE_SECONDS`` is a crashed holder and is
-        broken."""
+        (returns False). Check-then-swap runs under :meth:`_meta_lock`,
+        closing the race where a winner stalled between publishing its
+        snapshot file and swinging the pointer resumes after a loser's
+        roll-forward (or a later commit) and would otherwise regress
+        ``_current`` — readers must never see the table go backwards."""
         pointer = os.path.join(self.meta_dir, "_current")
-        lock = pointer + ".lock"
         target_id = self._pointer_id(name)
-        deadline = time.monotonic() + 30.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                try:
-                    age = time.time() - os.path.getmtime(lock)
-                except OSError:
-                    continue  # holder just released; retry immediately
-                if age > self.POINTER_LOCK_STALE_SECONDS:
-                    try:
-                        os.remove(lock)
-                    except OSError:
-                        pass
-                    continue
-                if time.monotonic() > deadline:
-                    raise CommitConflictError(
-                        f"pointer lock {lock} held past deadline"
-                    ) from None
-                time.sleep(0.005)
-        try:
+        with self._meta_lock("_current.lock"):
             try:
                 with open(pointer) as pf:
                     current_id = self._pointer_id(pf.read().strip())
@@ -326,12 +328,6 @@ class LakeTable:
                 os.fsync(pf.fileno())
             os.replace(ptmp, pointer)
             return True
-        finally:
-            os.close(fd)
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
 
     def current_snapshot(self) -> Snapshot | None:
         pointer = os.path.join(self.meta_dir, "_current")
@@ -1057,23 +1053,32 @@ class LakeTable:
         write is atomic, so a crash leaves either "shard done, files
         live-pinned" or "shard absent, files orphan-swept later"; the
         data files themselves never need cleanup on the happy path."""
-        state = self.backfill_state()
-        if state is None:
-            state = {
-                "backfill_id": backfill_id,
-                "total_shards": total_shards,
-                "completed": {},
-            }
-        elif state["backfill_id"] != backfill_id or state["total_shards"] != total_shards:
-            raise BackfillStateError(
-                f"in-progress backfill {state['backfill_id']!r} "
-                f"({state['total_shards']} shards) does not match requested "
-                f"{backfill_id!r} ({total_shards} shards); finish it or "
-                f"abort_backfill() first"
-            )
+        def _validated_state() -> dict[str, Any]:
+            s = self.backfill_state()
+            if s is None:
+                return {
+                    "backfill_id": backfill_id,
+                    "total_shards": total_shards,
+                    "completed": {},
+                }
+            if s["backfill_id"] != backfill_id or s["total_shards"] != total_shards:
+                raise BackfillStateError(
+                    f"in-progress backfill {s['backfill_id']!r} "
+                    f"({s['total_shards']} shards) does not match requested "
+                    f"{backfill_id!r} ({total_shards} shards); finish it or "
+                    f"abort_backfill() first"
+                )
+            return s
+
         key = str(shard)
-        if key in state["completed"]:
-            return state["completed"][key]
+        # concurrent stagers (caller-sharded backfill across processes)
+        # serialize the tiny state read-modify-write under a lock so one
+        # shard's completion record can't overwrite another's; the
+        # expensive Spark write happens OUTSIDE the critical section
+        with self._meta_lock(self.BACKFILL_STATE_NAME + ".lock"):
+            state = _validated_state()
+            if key in state["completed"]:
+                return state["completed"][key]
         entries = self._write_parts(
             [(df, False)],
             snapshot_id=0,
@@ -1082,8 +1087,15 @@ class LakeTable:
             properties=self._require().properties,
             dirname=f"bf-{backfill_id}-s{shard:04d}-{uuid.uuid4().hex[:8]}",
         )
-        state["completed"][key] = entries
-        self._write_backfill_state(state)
+        with self._meta_lock(self.BACKFILL_STATE_NAME + ".lock"):
+            state = _validated_state()
+            if key in state["completed"]:
+                # a racing stager finished this shard while we wrote —
+                # keep its record; our files are unreferenced and fall
+                # to the orphan sweep
+                return state["completed"][key]
+            state["completed"][key] = entries
+            self._write_backfill_state(state)
         return entries
 
     def commit_backfill(
@@ -1283,7 +1295,10 @@ class LakeTable:
         (crd-microsoft-sql-server-stream.yaml:285-301): for each named
         column, one table scan collects approximate NDV (HyperLogLog++
         sketch — mergeable, so the agg is map-side partial like any
-        other), null count, min and max. All columns share the SINGLE
+        other), null count, min and max. An EMPTY list means ALL schema
+        columns — the reference's documented default ("ALL columns will
+        be included") — while ``None`` skips column statistics
+        entirely (manifest-level counts only). All columns share the SINGLE
         scan/aggregation (4·k agg expressions, one job, no shuffle
         beyond the final 1-row reduce), which is the only shape that
         survives 100 TB — never one scan per column."""
@@ -1296,6 +1311,8 @@ class LakeTable:
             "bytes": sum(m["bytes"] for m in ms),
             "buckets": sum(1 for m in ms if m["files"]),
         }
+        if included_columns is not None and not included_columns:
+            included_columns = list(snap.schema.fieldNames())
         if included_columns:
             known = set(snap.schema.fieldNames())
             unknown = sorted(set(included_columns) - known)

@@ -116,6 +116,11 @@ class EngineOptions:
                                   # stats job and the merge-write job
                                   # share it (measured ~20% faster than
                                   # recompute-with-shuffle-reuse)
+    shaper_impl: str = "static"   # T2 throughput.shaperImpl (CRD beta:433-470):
+                                  # "static" (chunk = max_events_per_batch,
+                                  # the advised baseline) | "memoryBound"
+                                  # (sigmoid chunk-cost vs free memory,
+                                  # streaming/shaper.py)
     cache_serialized: bool = False  # serialized (lz4) cache blocks:
                                   # ~5-10x smaller heap footprint per
                                   # batch, pays ser/deser CPU — for
@@ -138,21 +143,31 @@ class BatchResult:
 
 
 class CdcEngine:
-    def __init__(self, spark: SparkSession, table: LakeTable, options: EngineOptions | None = None):
+    def __init__(self, spark: SparkSession, table: LakeTable,
+                 options: EngineOptions | None = None,
+                 emitters: "list | None" = None):
         self.spark = spark
         self.table = table
         self.opts = options or EngineOptions()
         self.metrics: list[BatchResult] = []
+        #: pluggable metric sinks (streaming/metrics.py) — statsd
+        #: UDP/UDS, jsonl, callback; reference DeclaredMetrics →
+        #: DataDog.UdsPublisher (main.scala:111,115-116)
+        self.emitters = list(emitters or [])
 
     def _emit_metrics(self, result: BatchResult) -> None:
         """A2 parity (DeclaredMetrics/statsd publisher, main.scala:111,
-        115-116): one JSON line per applied batch under the table root —
-        rows, versions, bucket fan-out, phase latencies. Swap the file
-        sink for a statsd/OTel emitter in production; the record shape
-        is the contract."""
+        115-116): one JSON line per applied batch under the table root
+        (the always-on local record), plus a fan-out to any configured
+        emitters — statsd counters/gauges/timers with metricTags
+        (docs/crd.md:33-37), see streaming/metrics.py."""
         path = os.path.join(self.table.root, "metrics.jsonl")
         with open(path, "a") as f:
             f.write(json.dumps({"event": "batch_applied", **vars(result)}) + "\n")
+        if self.emitters:
+            from .metrics import emit_batch_result
+
+            emit_batch_result(self.emitters, result)
 
     # ------------------------------------------------------------------
     # bootstrap (T5 DefaultStreamBootstrapper: ensure target + epoch wm)
@@ -450,7 +465,16 @@ class CdcEngine:
 
         wm = self.current_watermark()
         pending = incremental_read(normalize_column_names(changelog), wm)
-        chunks = version_chunks(pending, self.opts.max_events_per_batch)
+        if self.opts.shaper_impl == "static":
+            chunk_size = self.opts.max_events_per_batch
+        else:  # T2 memory-bound shaper: schema-estimated row size vs
+            # free memory scales the advised chunk down under pressure
+            from .shaper import build_shaper
+
+            chunk_size = build_shaper(
+                self.opts.shaper_impl, self.opts.max_events_per_batch
+            ).advise(pending.schema)
+        chunks = version_chunks(pending, chunk_size)
         if max_batches is not None:
             chunks = chunks[:max_batches]
         results: list[BatchResult] = []

@@ -151,6 +151,23 @@ def run_protocol(protocol: str, args, membw: dict) -> dict:
                   f"({eff_before:.3f}/{mid_eff:.3f}/{eff_after:.3f} < "
                   f"{args.gate}) — rejected ({rejected} so far)",
                   file=sys.stderr)
+            # disclose the rejected pair's numbers too (against-interest
+            # evidence: rejected pairs' efficiencies show what the gate
+            # is filtering OUT, so the accepted set can't be accused of
+            # cherry-picking silently)
+            raw_rej = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
+            with open(args.out, "a") as f:
+                f.write(json.dumps({
+                    "protocol": protocol,
+                    "rejected_by_gate": True,
+                    "raw_efficiency": round(raw_rej, 3),
+                    "host_cpu_eff_samples": [eff_before, mid_eff, eff_after],
+                    "tput_n": lo["events_per_sec"],
+                    "tput_4n": hi["events_per_sec"],
+                    "seconds_n": lo["seconds"],
+                    "seconds_4n": hi["seconds"],
+                    "geometry": f"{lo_master} -> {hi_master}",
+                }) + "\n")
             continue
         raw = hi["events_per_sec"] / (4.0 * lo["events_per_sec"])
         host_eff = statistics.median([eff_before, mid_eff, eff_after])

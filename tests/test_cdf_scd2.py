@@ -66,6 +66,26 @@ def test_snapshot_diff_null_safe_compare(spark):
     assert len(rows) == 1 and rows[0][CHANGE_TYPE_COL] == CT_UPDATE
 
 
+def test_snapshot_diff_all_null_key_rows(spark):
+    """Rows whose key columns are ALL NULL still join across sides
+    under eqNullSafe; presence must come from a per-side marker, not
+    key nullability — otherwise a matched null-key row reads "absent
+    on both sides" and is mislabeled an insert with a null-padded old
+    side (ADVICE r3)."""
+    old = _state(spark, [(None, 1, "x"), ("b", 2, "y")])
+    # null key updated 1→10; "b" unchanged
+    new = _state(spark, [(None, 10, "x"), ("b", 2, "y")])
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["k"] is None
+    assert r[CHANGE_TYPE_COL] == CT_UPDATE
+    assert r["v"] == 10 and r["txt"] == "x"
+    # identical null-key rows emit nothing (not phantom inserts)
+    same = _state(spark, [(None, 1, "x")])
+    assert snapshot_diff(same, same, ["k"]).count() == 0
+
+
 def test_snapshot_diff_schema_evolution_added_column(spark):
     old = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v long")
     new = spark.createDataFrame(
@@ -171,6 +191,73 @@ def test_snapshot_as_of_version_cdf_cursor(spark, lake_root):
     assert {r["_change_type"] for r in diff.collect()} == {"update_postimage"}
 
 
+def test_cdf_cursor_drain_resume_and_retention(spark, lake_root, tmp_path):
+    """CdfCursor consumer loop: initial load as inserts, incremental
+    tail, crash-resume (poll without commit replays the identical
+    increment), caught-up -> None, and a fail-fast when maintenance
+    expires the cursor's base snapshot (the lake-side twin of the
+    source's CHANGE_TRACKING_MIN_VALID_VERSION guard)."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.cdf import (
+        CdfCursor,
+        CursorBehindRetentionError,
+    )
+
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = LakeTable(spark, os.path.join(lake_root, "cur"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(key_columns=("k",), num_buckets=4, max_events_per_batch=1000),
+    )
+    eng.bootstrap(payload)
+    ckpt = str(tmp_path / "cursor.json")
+    cursor = CdfCursor(table, ckpt)
+
+    # increment 1: initial load = every live row as insert
+    eng.run_incremental(
+        _changelog(spark, [(i + 1, "U", f"k{i}", i) for i in range(8)])
+    )
+    df, upto = cursor.poll()
+    rows = {(r["k"], r["v"], r[CHANGE_TYPE_COL]) for r in df.collect()}
+    assert rows == {(f"k{i}", i, CT_INSERT) for i in range(8)}
+
+    # crash before commit: a NEW cursor on the same checkpoint replays
+    # the identical increment
+    again, upto2 = CdfCursor(table, ckpt).poll()
+    assert upto2 == upto
+    assert {(r["k"], r["v"], r[CHANGE_TYPE_COL]) for r in again.collect()} == rows
+
+    cursor.commit(upto)
+    assert cursor.poll() is None  # caught up
+    assert cursor.position() == upto
+
+    # increment 2: one update, one delete
+    eng.run_incremental(
+        _changelog(spark, [(100, "U", "k1", 111), (101, "D", "k2", 0)])
+    )
+    df2, upto2 = cursor.poll()
+    assert {(r["k"], r[CHANGE_TYPE_COL]) for r in df2.collect()} == {
+        ("k1", CT_UPDATE),
+        ("k2", CT_DELETE),
+    }
+    with pytest.raises(ValueError, match="backwards"):
+        cursor.commit(0)
+    cursor.commit(upto2)
+
+    # churn + retention: expire everything but the latest snapshots so
+    # the cursor's base disappears, then demand the fail-fast
+    for seq in range(3):
+        eng.run_incremental(_changelog(spark, [(200 + seq, "U", "k1", 200 + seq)]))
+    stale = CdfCursor(table, str(tmp_path / "stale.json"))
+    df0, up0 = stale.poll()  # plans from snapshot 0
+    df0.collect()
+    table.expire_snapshots(keep_last=2)
+    with pytest.raises(CursorBehindRetentionError, match="re-bootstrap"):
+        stale.poll()
+
+
 def test_changes_between_requires_keys(spark, lake_root):
     t = LakeTable(spark, os.path.join(lake_root, "nk"))
     schema = T.StructType(
@@ -239,3 +326,95 @@ def test_scd2_point_in_time_matches_replay(spark):
         .select("k", "v")
     )
     assert {tuple(r) for r in pit.collect()} == {tuple(r) for r in replay.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Scd2Table — maintained incremental SCD2
+# ---------------------------------------------------------------------------
+
+def _scd2_rows(df):
+    return {
+        (r["k"], r["v"], r["valid_from_version"], r["valid_to_version"], r["is_current"])
+        for r in df.collect()
+    }
+
+
+def test_scd2_table_incremental_equals_one_shot(spark, lake_root, tmp_path):
+    """The maintained SCD2 table must equal the one-shot scd2_history
+    derivation after EVERY batch, across inserts, updates, deletes and
+    a delete→re-insert of the same key (the case that forces the
+    interval→event reconstruction to re-synthesize the delete)."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.scd2_table import Scd2Table
+
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    events = [
+        # batch 1: three inserts + an update
+        [(1, "U", "a", 10), (2, "U", "b", 20), (3, "U", "c", 30), (4, "U", "a", 11)],
+        # batch 2: delete b, update c, insert d
+        [(5, "D", "b", 0), (6, "U", "c", 31), (7, "U", "d", 40)],
+        # batch 3: re-insert b after its delete, delete a
+        [(8, "U", "b", 21), (9, "D", "a", 0)],
+    ]
+    hist = Scd2Table(
+        LakeTable(spark, os.path.join(lake_root, "scd2t")),
+        key_columns=["k"],
+        num_buckets=4,
+    )
+    hist.bootstrap(payload)
+    seen: list[tuple] = []
+    for batch in events:
+        seen.extend(batch)
+        res = hist.apply_batch(_changelog(spark, batch))
+        assert not res.skipped and res.rows_in == len(batch)
+        expect = scd2_history(
+            _changelog(spark, seen),
+            key_columns=["k"],
+            version_col=VERSION_COL,
+            op_col=OPERATION_COL,
+            payload_columns=["v"],
+        )
+        assert _scd2_rows(hist.history()) == _scd2_rows(expect)
+
+    # replaying an already-applied batch is a skipped no-op (watermark)
+    res = hist.apply_batch(_changelog(spark, events[-1]))
+    assert res.skipped
+    assert _scd2_rows(hist.history()) == _scd2_rows(expect)
+
+    # point-in-time: at v=5, b is deleted, a=11, c=30, d absent
+    at5 = {(r["k"], r["v"]) for r in hist.as_of(5).collect()}
+    assert at5 == {("a", 11), ("c", 30)}
+    # current state matches the replayed Type-1 semantics
+    cur = {(r["k"], r["v"]) for r in hist.history().filter("is_current").collect()}
+    assert cur == {("b", 21), ("c", 31), ("d", 40)}
+
+
+def test_scd2_table_touched_buckets_only(spark, lake_root):
+    """A batch touching one key must rewrite only that key's bucket —
+    the CoW manifest delta is the witness (same invariant as the
+    Type-1 merge)."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.scd2_table import Scd2Table
+
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = LakeTable(spark, os.path.join(lake_root, "scd2b"))
+    hist = Scd2Table(table, key_columns=["k"], num_buckets=8)
+    hist.bootstrap(payload)
+    hist.apply_batch(
+        _changelog(spark, [(i + 1, "U", f"key{i}", i) for i in range(32)])
+    )
+    s1 = table.current_snapshot()
+    res = hist.apply_batch(_changelog(spark, [(100, "U", "key7", 777)]))
+    s2 = table.current_snapshot()
+    changed = {
+        b
+        for b in set(s1.bucket_manifests) | set(s2.bucket_manifests)
+        if s1.bucket_manifests.get(b, {}).get("path")
+        != s2.bucket_manifests.get(b, {}).get("path")
+    }
+    assert res.touched_buckets == 1 and len(changed) == 1
+    # both intervals of key7 exist, old one closed at v=100
+    k7 = _scd2_rows(hist.history().filter(F.col("k") == "key7"))
+    assert k7 == {("key7", 7, 8, 100, False), ("key7", 777, 100, None, True)}

