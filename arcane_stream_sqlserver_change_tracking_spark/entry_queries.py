@@ -51,7 +51,8 @@ from .operators.corpus import (
     token_vocab,
 )
 from .functions.text import redact_pii_expr
-from .functions.sampling import hash_split
+from .functions.repetition import repetition_stats
+from .functions.sampling import hash_split, mix_corpus, stratified_sample
 from .operators.clusters import near_dup_clusters
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
@@ -1340,6 +1341,118 @@ FROM documents
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 repetition-quality statistics — all four fractions
+    computed INSIDE the row (sorted-array run-length aggregates), so the
+    operator is a zero-Exchange projection. The oracle recomputes them
+    set-based (unnest → group) — two entirely different plans, one
+    contract."""
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+SQL_REPETITION = r"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS v FROM base),
+lc AS (
+  SELECT doc_id, v, count(*) AS cnt, length(v) AS len
+  FROM lines WHERE v <> '' GROUP BY doc_id, v),
+lstats AS (
+  SELECT doc_id, sum(cnt) AS n_lines, count(*) AS n_uniq,
+         sum(cnt * len) AS total, sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup
+  FROM lc GROUP BY doc_id),
+words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(t), '\s+')) AS v FROM base),
+wc AS (
+  SELECT doc_id, v, count(*) AS cnt, length(v) AS len
+  FROM words WHERE v <> '' GROUP BY doc_id, v),
+wstats AS (
+  SELECT doc_id, max(cnt * len) AS best, sum(cnt * len) AS total FROM wc GROUP BY doc_id),
+warr AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(t), '\s+'), x -> x <> '') AS ws
+  FROM base),
+ngrams AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           list_transform(ws, (x, i) -> CASE WHEN i + 1 <= len(ws)
+                                             THEN array_to_string(ws[i:i+1], ' ') END),
+           x -> x IS NOT NULL)) AS v
+  FROM warr),
+nc AS (
+  SELECT doc_id, v, count(*) AS cnt, length(v) AS len FROM ngrams GROUP BY doc_id, v),
+nstats AS (
+  SELECT doc_id, max(cnt * len) AS best, sum(cnt * len) AS total FROM nc GROUP BY doc_id),
+stats AS (
+  SELECT b.doc_id,
+    round((coalesce(l.n_lines, 0) - coalesce(l.n_uniq, 0))::double
+          / greatest(coalesce(l.n_lines, 0), 1), 6) AS dup_line_fraction,
+    round(coalesce(l.dup, 0)::double / greatest(coalesce(l.total, 0), 1), 6)
+      AS dup_line_char_fraction,
+    round(coalesce(w.best, 0)::double / greatest(coalesce(w.total, 0), 1), 6)
+      AS top_word_char_fraction,
+    round(coalesce(n.best, 0)::double / greatest(coalesce(n.total, 0), 1), 6)
+      AS top_2gram_char_fraction
+  FROM base b
+  LEFT JOIN lstats l USING (doc_id)
+  LEFT JOIN wstats w USING (doc_id)
+  LEFT JOIN nstats n USING (doc_id))
+SELECT doc_id, dup_line_fraction, dup_line_char_fraction,
+       top_word_char_fraction, top_2gram_char_fraction,
+       (dup_line_fraction <= 0.30 AND dup_line_char_fraction <= 0.20
+        AND top_word_char_fraction <= 0.20 AND top_2gram_char_fraction <= 0.20) AS keep
+FROM stats
+"""
+
+
+#: fixed demo strata for the driver query (sources are src0..src19)
+_STRATA_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_BUDGET = 1500
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source Bernoulli sample (sha256 id-bucket
+    below a per-stratum bound) — a pure scan-stage filter, zero
+    shuffle; unlisted sources drop at rate 0."""
+    return stratified_sample(_t(spark, sf_dir, "documents"), _STRATA_RATES).select(
+        "doc_id", "source"
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000
+      < CASE source WHEN 'src0' THEN 2500 WHEN 'src1' THEN 5000
+                    WHEN 'src2' THEN 7500 WHEN 'src3' THEN 10000 ELSE 0 END
+"""
+
+
+def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: per-source keep rates
+    min(1, budget·weight / source_tokens) derived from ONE map-side-
+    combined aggregate (collect bounded by #sources), then the same
+    zero-shuffle stratified filter. The oracle recomputes the rates
+    from data with identical double arithmetic (floor both engines)."""
+    sampled, _rates = mix_corpus(
+        _t(spark, sf_dir, "documents"), _MIX_WEIGHTS, _MIX_BUDGET
+    )
+    return sampled.select("doc_id", "source")
+
+
+SQL_CORPUS_MIX = rf"""
+WITH toks AS (
+  SELECT source, sum(len(regexp_split_to_array(trim(text), '\s+'))) AS toks
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source
+FROM documents d JOIN toks t USING (source)
+WHERE ('0x' || substr(sha256(d.doc_id::varchar), 1, 8))::bigint % 10000
+      < least(10000, floor(least(1.0, {_MIX_BUDGET} * CASE d.source
+                 WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 0.2 END
+                 / t.toks) * 10000))
+  AND d.source IN ('src0', 'src1', 'src2')
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1364,6 +1477,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "train_val_split": q_train_val_split,
+        "stratified_sample": q_stratified_sample,
+        "corpus_mix": q_corpus_mix,
+        "repetition_stats": q_repetition_stats,
         "token_vocab": q_token_vocab,
         "corpus_pipeline": q_corpus_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1406,6 +1522,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
+        "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "corpus_mix": SQL_CORPUS_MIX,
+        "repetition_stats": SQL_REPETITION,
         "token_vocab": SQL_TOKEN_VOCAB,
         "corpus_pipeline": _sql_corpus_pipeline(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,

@@ -59,3 +59,82 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def _floor_bound(rate: float, buckets: int) -> int:
+    """floor(rate × buckets) — floor (not round) on BOTH engines so the
+    SQL oracle can recompute the bound from data with ``floor()``."""
+    import math
+
+    return min(buckets, int(math.floor(rate * buckets)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample: keep a row iff its
+    sha256 id-bucket falls below floor(rate[stratum] × buckets).
+
+    Same three scale properties as :func:`hash_split` — reproducible
+    across runs/engines, order- and partitioning-stable, and evaluated
+    as a pure filter inside the scan stage (zero shuffle; at 100 TB
+    this is the only admissible sampling plan). Strata absent from
+    ``rates`` get ``default_rate`` (0.0 = dropped).
+    """
+    for k, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0,1], got {r}")
+    bucket = split_bucket(F.col(id_col), buckets)
+    bound: Column | None = None
+    for k, r in rates.items():
+        b = F.lit(_floor_bound(r, buckets))
+        cond = F.col(strata_col) == F.lit(k)
+        bound = F.when(cond, b) if bound is None else bound.when(cond, b)
+    default = F.lit(_floor_bound(default_rate, buckets))
+    bound = default if bound is None else bound.otherwise(default)
+    return df.filter(bucket < bound)
+
+
+def mix_corpus(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 10_000,
+) -> tuple[DataFrame, dict[str, float]]:
+    """Token-budget data mixing: sample each source so the expected
+    kept token mass is ≈ ``token_budget × weight[source]``.
+
+    The mixing weights of a training run (e.g. 50% web, 30% code, 20%
+    reference) rarely match the raw corpus proportions; this computes
+    per-source keep rates ``min(1, budget·w / source_tokens)`` and
+    applies :func:`stratified_sample`. The per-source token totals are
+    ONE map-side-combined aggregate whose result is bounded by the
+    number of sources (a driver-safe collect — same class as the
+    engine's per-bucket stats); the sample itself stays a scan-stage
+    filter. Sources without a weight are dropped (rate 0). A source
+    whose raw tokens undershoot its target keeps everything (rate
+    capped at 1) — upsampling/repetition is a training-loader concern,
+    not a corpus operator.
+
+    Returns (sampled DataFrame, the per-source rates actually applied).
+    """
+    from .analysis import ws_token_count
+
+    totals = {
+        row[0]: row[1]
+        for row in df.groupBy(strata_col)
+        .agg(F.sum(ws_token_count(F.col(text_col))).alias("toks"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, token_budget * w / totals[s]) for s, w in weights.items() if totals.get(s)
+    }
+    return stratified_sample(df, rates, strata_col, id_col, buckets), rates

@@ -72,6 +72,10 @@ BENCH_QUERIES = [
     "quality_score",
     "decontaminate",
     "pii_redact",
+    # r4: per-row HOF repetition scan (CPU-bound, zero shuffle) and the
+    # scan-stage stratified mixing filter.
+    "repetition_stats",
+    "corpus_mix",
 ]
 
 TRANSCRIPT_PAYLOAD = T.StructType(
