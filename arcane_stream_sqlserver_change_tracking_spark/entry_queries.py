@@ -45,6 +45,7 @@ from .functions.keys import (
 from .operators.corpus import (
     decontaminate,
     exact_dedup,
+    line_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash,
@@ -1404,6 +1405,41 @@ FROM stats
 """
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document line dedup: duplicated lines survive only
+    at their first (doc_id, position) occurrence; docs are reassembled
+    from surviving lines. One md5-keyed Exchange + partition-reused
+    winner join + one reassembly groupBy."""
+    return line_dedup(_t(spark, sf_dir, "documents"))
+
+
+SQL_LINE_DEDUP = """
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+exploded AS (
+  SELECT doc_id,
+         unnest(list_transform(string_split(t, chr(10)),
+                               (x, i) -> {'pos': i, 'v': x})) AS s
+  FROM base),
+lines AS (
+  SELECT doc_id, s['pos'] AS pos, s['v'] AS v FROM exploded WHERE s['v'] <> ''),
+rn AS (
+  SELECT doc_id, pos, v,
+         row_number() OVER (PARTITION BY v ORDER BY doc_id, pos) AS rn
+  FROM lines),
+agg AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN rn = 1 THEN v END, chr(10) ORDER BY pos) AS clean_text,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::bigint AS kept_lines,
+         sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::bigint AS dropped_lines
+  FROM rn GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.kept_lines, 0)::bigint AS kept_lines,
+       coalesce(a.dropped_lines, 0)::bigint AS dropped_lines
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
 #: fixed demo strata for the driver query (sources are src0..src19)
 _STRATA_RATES = {"src0": 0.25, "src1": 0.5, "src2": 0.75, "src3": 1.0}
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
@@ -1474,6 +1510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": q_scd2_history,
         "scd2_incremental": q_scd2_incremental,
         "exact_dedup": q_exact_dedup,
+        "line_dedup": q_line_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
         "train_val_split": q_train_val_split,
@@ -1519,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": SQL_SCD2,
         "scd2_incremental": SQL_SCD2,
         "exact_dedup": SQL_EXACT_DEDUP,
+        "line_dedup": SQL_LINE_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,

@@ -282,3 +282,68 @@ def decontaminate(
     )
     clean = docs.join(F.broadcast(report.select(id_col)), id_col, "left_anti")
     return clean, report
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document LINE-level exact dedup (the C4-style sub-document
+    cleaning step): every non-empty line that appears more than once in
+    the corpus survives only at its FIRST occurrence — lowest
+    (doc id, line position) — and is removed everywhere else. Documents
+    are reassembled from their surviving lines in original order.
+
+    Returns (id, clean_text, kept_lines, dropped_lines) for EVERY input
+    document (a document whose lines were all boilerplate comes back
+    with clean_text = '' rather than vanishing, so downstream length
+    filters see it).
+
+    100 TB shape: posexplode → ONE hash Exchange on the line's md5 (the
+    128-bit digest is the shuffle key, not the line text), map-side
+    combined min(struct(id, pos)) picks winners, and the occurrence→
+    winner equi-join reuses the same hash partitioning (no extra
+    Exchange under AQE). Reassembly is one groupBy(id) whose state is
+    bounded by a single document's lines. Nothing in the plan is
+    quadratic and no driver-side work exists.
+    """
+    base = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    lines = base.select(
+        id_col, F.posexplode(F.split(F.col("__t"), "\n")).alias("pos", "line")
+    ).filter(F.col("line") != "")
+    occ = lines.select(id_col, "pos", "line", F.md5(F.col("line").cast("binary")).alias("h"))
+    winners = occ.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("w")
+    )
+    flagged = occ.join(winners, "h").select(
+        id_col,
+        "pos",
+        "line",
+        ((F.col("w")["i"] == F.col(id_col)) & (F.col("w")["p"] == F.col("pos"))).alias("keep"),
+    )
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.col("keep").cast("long")).alias("kept_lines"),
+        F.sum((~F.col("keep")).cast("long")).alias("dropped_lines"),
+    )
+    return (
+        base.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("kept_lines", F.lit(0).cast("long")).alias("kept_lines"),
+            F.coalesce("dropped_lines", F.lit(0).cast("long")).alias("dropped_lines"),
+        )
+    )

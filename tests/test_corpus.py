@@ -154,3 +154,51 @@ def test_token_vocab_approx_doc_freq_single_shuffle(spark):
         cnt_a, df_approx = a[tok]
         assert cnt_a == cnt  # total counts identical
         assert abs(df_approx - df_exact) <= max(2, 0.05 * df_exact)
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique one\nBOILER\nunique two"),
+            (2, "BOILER\nother text\nBOILER"),   # BOILER dup twice (once in-doc)
+            (3, ""),                              # empty doc survives
+            (4, "other text"),                    # dup of doc 2's line
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert got[1]["clean_text"] == "unique one\nBOILER\nunique two"
+    assert (got[1]["kept_lines"], got[1]["dropped_lines"]) == (3, 0)
+    # doc 2 loses both BOILER copies (first occurrence is doc 1 pos 1)
+    assert got[2]["clean_text"] == "other text"
+    assert (got[2]["kept_lines"], got[2]["dropped_lines"]) == (1, 2)
+    assert got[3]["clean_text"] == "" and got[3]["kept_lines"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["dropped_lines"] == 1
+
+
+def test_line_dedup_in_doc_duplicates_and_order(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(7, "a\nb\na\nc\nb\nd")], "doc_id long, text string"
+    )
+    r = line_dedup(docs).collect()[0]
+    # repeats within one doc collapse to the first position; order kept
+    assert r["clean_text"] == "a\nb\nc\nd"
+    assert (r["kept_lines"], r["dropped_lines"]) == (4, 2)
+
+
+def test_line_dedup_single_line_exchange(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"common header\nbody {i}") for i in range(40)], "doc_id long, text string"
+    )
+    out = line_dedup(docs)
+    rows = out.collect()
+    assert sum(r["dropped_lines"] for r in rows) == 39
+    # shuffle key is the md5 digest, never the raw line text
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(h" in plan or "hashpartitioning(doc_id" in plan
