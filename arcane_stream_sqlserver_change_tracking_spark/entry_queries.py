@@ -43,6 +43,7 @@ from .functions.keys import (
     VERSION_COL,
 )
 from .operators.corpus import (
+    chunk_documents,
     decontaminate,
     exact_dedup,
     line_dedup,
@@ -54,7 +55,7 @@ from .operators.corpus import (
 from .functions.text import redact_pii_expr
 from .functions.repetition import repetition_stats
 from .functions.sampling import hash_split, mix_corpus, stratified_sample
-from .operators.clusters import near_dup_clusters
+from .operators.clusters import near_dup_clusters, select_representatives
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
 from .operators.merge import plan_merge
@@ -761,6 +762,92 @@ reach(u, r) AS (
 SELECT u AS doc_id, min(r) AS cluster_id,
        (u = min(r)) AS is_representative
 FROM reach GROUP BY u
+"""
+
+
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-based near-dup retention: per cluster keep the highest-
+    quality member (ties → lowest id) instead of the structural
+    lowest-id default. One Exchange on cluster_id, map-side-combined
+    max(struct(score, −id))."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, num_perms=16, num_bands=4)
+    clusters = near_dup_clusters(pairs, docs, id_col="doc_id").select(
+        "doc_id", "cluster_id"
+    )
+    scores = docs.select("doc_id", quality_score_expr("text").alias("quality"))
+    return select_representatives(clusters, scores)
+
+
+def _sql_cluster_representatives(num_perms: int = 16, num_bands: int = 4) -> str:
+    stop = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in LANG_MARKERS["en"]
+    )
+    return rf"""
+WITH RECURSIVE {_sql_minhash_ctes(num_perms, num_bands)},
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION ALL
+  SELECT b, a FROM pairs),
+reach(u, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v),
+clus AS (
+  SELECT u AS doc_id, min(r) AS cluster_id FROM reach GROUP BY u),
+m AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tok,
+         CAST(length(text) AS bigint) AS n_chars,
+         CAST(len(regexp_extract_all(text, '{PUNCT_RE}')) AS bigint) AS punct,
+         CAST(({stop}) AS bigint) AS stop
+  FROM documents),
+qual AS (
+  SELECT doc_id,
+    round(
+      least(1.0, n_tok / 100.0)
+      * (1.0 - punct::double / greatest(n_chars, 1))
+      * (0.25 + 0.75 * least(1.0, stop::double / greatest(n_tok, 1) * 10.0)),
+    6) AS quality
+  FROM m),
+ranked AS (
+  SELECT c.cluster_id, q.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, q.doc_id) AS rn
+  FROM clus c JOIN qual q USING (doc_id))
+SELECT cluster_id, doc_id::bigint AS rep_id, quality FROM ranked WHERE rn = 1
+"""
+
+
+_CHUNK_MAX_TOKENS, _CHUNK_OVERLAP = 64, 16
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking with overlap — per-row explode in the
+    scan stage, zero shuffle."""
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        max_tokens=_CHUNK_MAX_TOKENS,
+        overlap=_CHUNK_OVERLAP,
+    )
+
+
+def _sql_chunk_documents() -> str:
+    stride = _CHUNK_MAX_TOKENS - _CHUNK_OVERLAP
+    return rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+st AS (
+  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), {stride})) AS s FROM base)
+SELECT doc_id,
+       (s // {stride})::bigint AS chunk_idx,
+       array_to_string(w[s+1 : s+{_CHUNK_MAX_TOKENS}], ' ') AS chunk_text,
+       len(w[s+1 : s+{_CHUNK_MAX_TOKENS}])::bigint AS chunk_tokens
+FROM st
 """
 
 
@@ -1513,6 +1600,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "cluster_representatives": q_cluster_representatives,
+        "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
@@ -1559,6 +1648,8 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_clusters": _sql_clusters(16, 4),
+        "cluster_representatives": _sql_cluster_representatives(16, 4),
+        "chunk_documents": _sql_chunk_documents(),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "corpus_mix": SQL_CORPUS_MIX,

@@ -148,3 +148,33 @@ def near_dup_clusters(
             "is_representative", (F.col(id_col) == F.col("cluster_id"))
         )
     )
+
+
+def select_representatives(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Quality-based near-dup retention: per cluster keep the member
+    with the HIGHEST score (ties broken by lowest id) — the policy a
+    production curation pipeline actually wants, vs. the structural
+    keep-lowest-id default of :func:`near_dup_clusters`.
+
+    Returns (cluster_id, rep_id, score_col). One Exchange on
+    ``cluster_col`` with a map-side-combined ``max(struct(score, −id))``
+    aggregate — no window over the full corpus, no second shuffle.
+    ``scores`` is (id, score), e.g. ``quality_score_expr`` output.
+    """
+    joined = clusters.join(scores, id_col)
+    best = joined.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id"))
+        ).alias("b")
+    )
+    return best.select(
+        cluster_col,
+        (-F.col("b")["neg_id"]).cast("long").alias("rep_id"),
+        F.col("b")["s"].alias(score_col),
+    )

@@ -347,3 +347,48 @@ def line_dedup(
             F.coalesce("dropped_lines", F.lit(0).cast("long")).alias("dropped_lines"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Fixed-token-window document chunking with overlap — the
+    context-window preparation step of embedding / retrieval / training
+    pipelines (long documents become overlapping ``max_tokens``-token
+    chunks; the overlap preserves cross-boundary context).
+
+    Chunk starts are 0, stride, 2·stride, … while start < n_tokens
+    (stride = max_tokens − overlap); every document yields chunk 0, so
+    empty documents produce one empty chunk rather than vanishing.
+    Chunk text re-joins tokens with single spaces (whitespace
+    normalization, as tokenizers do). Returns
+    (id, chunk_idx, chunk_text, chunk_tokens).
+
+    100 TB shape: a pure per-row explode in the scan stage — zero
+    shuffle, output bounded by n_tokens/stride rows per document; the
+    token array is materialized once per row and shared by the slice
+    and the count.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    tokens = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""),
+    )
+    d = df.select(F.col(id_col), tokens.alias("__w"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("__w") - 1, F.lit(0)), F.lit(stride)
+    )
+    e = d.select(id_col, "__w", F.posexplode(starts).alias("__i", "__s"))
+    chunk = F.slice(F.col("__w"), F.col("__s") + 1, max_tokens)
+    return e.select(
+        id_col,
+        F.col("__i").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).cast("long").alias("chunk_tokens"),
+    )

@@ -139,3 +139,21 @@ def test_token_vocab_topk_deterministic(spark, sf_dir):
     # global top-k compiles to per-partition heaps, not a global sort
     plan = token_vocab(docs, top_k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_select_representatives_quality_and_tiebreak(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.clusters import select_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.1), (6, 0.7)],
+        "doc_id long, quality double",
+    )
+    got = {r["cluster_id"]: r for r in select_representatives(clusters, scores).collect()}
+    assert got[1]["rep_id"] == 2 and got[1]["quality"] == 0.9  # best score, tie -> lowest id
+    assert got[4]["rep_id"] == 4                                # tie -> lowest id
+    assert got[6]["rep_id"] == 6                                # singleton
+    assert len(got) == 3

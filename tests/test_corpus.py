@@ -202,3 +202,45 @@ def test_line_dedup_single_line_exchange(spark):
     # shuffle key is the md5 digest, never the raw line text
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(h" in plan or "hashpartitioning(doc_id" in plan
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import chunk_documents
+
+    # 10 tokens, max=4, overlap=2 -> stride 2 -> starts 0,2,4,6,8
+    toks = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, toks), (2, ""), (3, "a b")], "doc_id long, text string")
+    got = chunk_documents(docs, max_tokens=4, overlap=2).collect()
+    by = {}
+    for r in got:
+        by.setdefault(r["doc_id"], []).append(r)
+    one = sorted(by[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_idx"] for r in one] == [0, 1, 2, 3, 4]
+    assert one[0]["chunk_text"] == "t0 t1 t2 t3"
+    assert one[1]["chunk_text"] == "t2 t3 t4 t5"      # 2-token overlap
+    assert one[4]["chunk_text"] == "t8 t9"            # short tail
+    assert one[4]["chunk_tokens"] == 2
+    # empty doc -> exactly one empty chunk, never dropped
+    assert len(by[2]) == 1 and by[2][0]["chunk_text"] == "" and by[2][0]["chunk_tokens"] == 0
+    # doc shorter than one window -> single chunk
+    assert len(by[3]) == 1 and by[3][0]["chunk_text"] == "a b"
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_zero_exchange(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 200) for i in range(20)], "doc_id long, text string"
+    )
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
