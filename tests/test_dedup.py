@@ -113,10 +113,18 @@ def test_lsh_plan_is_bucketed_equi_join(spark, sf_dir):
         embedding_near_dup_lsh,
     )
 
+    import re
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     plan = embedding_near_dup_lsh(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join itself must be keyed on the band columns
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[band_idx", plan
+    )
+    # the only nested-loop joins allowed are the two one-row plane
+    # attaches (a-side and b-side signatures) — O(n·1) broadcasts
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
 
 
 def test_ivf_recall_at_k(spark, sf_dir):
