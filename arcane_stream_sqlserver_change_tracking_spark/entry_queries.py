@@ -50,6 +50,7 @@ from .operators.corpus import (
     minhash_lsh_dedup,
     ngram_jaccard_pairs,
     simhash,
+    token_commonness,
     token_vocab,
 )
 from .functions.text import redact_pii_expr
@@ -891,6 +892,35 @@ FROM agg ORDER BY total_count DESC, token LIMIT 100
 """
 
 
+def q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency document scoring — exact-rational CCNet-style
+    commonness signal (one vocab aggregate + one per-doc aggregate; no
+    transcendentals, so cross-engine bit-exact)."""
+    return token_commonness(_t(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COMMONNESS = r"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(t), '\s+')) AS token FROM base),
+tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+c AS (
+  SELECT token, count(*)::bigint AS tf, count(DISTINCT doc_id)::bigint AS dfreq
+  FROM tok2 GROUP BY token),
+per AS (
+  SELECT doc_id, count(*)::bigint AS n_tokens,
+         sum(tf) AS sum_tf, sum(dfreq) AS sum_df
+  FROM tok2 JOIN c USING (token) GROUP BY doc_id)
+SELECT b.doc_id,
+       coalesce(p.n_tokens, 0)::bigint AS n_tokens,
+       coalesce(round(p.sum_tf::double / greatest(p.n_tokens, 1), 6), 0.0)
+         AS mean_token_tf,
+       coalesce(round(p.sum_df::double / greatest(p.n_tokens, 1), 6), 0.0)
+         AS mean_token_df
+FROM base b LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
 
@@ -1607,6 +1637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": q_corpus_mix,
         "repetition_stats": q_repetition_stats,
         "token_vocab": q_token_vocab,
+        "token_commonness": q_token_commonness,
         "corpus_pipeline": q_corpus_pipeline,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "simhash": q_simhash,
@@ -1655,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_mix": SQL_CORPUS_MIX,
         "repetition_stats": SQL_REPETITION,
         "token_vocab": SQL_TOKEN_VOCAB,
+        "token_commonness": SQL_TOKEN_COMMONNESS,
         "corpus_pipeline": _sql_corpus_pipeline(16, 4),
         "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
         "simhash": SQL_SIMHASH,

@@ -392,3 +392,62 @@ def chunk_documents(
         F.concat_ws(" ", chunk).alias("chunk_text"),
         F.size(chunk).cast("long").alias("chunk_tokens"),
     )
+
+
+def token_commonness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-frequency document scoring (the CCNet-style signal):
+    per document, the mean corpus term-frequency and mean document-
+    frequency of its tokens. Rare-token-heavy documents (gibberish,
+    OCR noise, wrong-language fragments) score LOW; boilerplate and
+    stop-word soup score HIGH — both tails are filter candidates, and
+    the middle band is what LM-quality bucketing keeps.
+
+    Returns (id, n_tokens, mean_token_tf, mean_token_df). All sums are
+    exact bigints with ONE final division per document, so the score is
+    bit-identical across engines (no transcendental functions — a
+    deliberate substitute for log-probability LM scoring, which is not
+    reproducible bit-for-bit across libm implementations).
+
+    100 TB shape: one map-side-combined vocabulary aggregate (tf = total
+    occurrences, df = exact distinct docs per token), then the token
+    stream joins the (vocab-sized, corpus-independent) counts table —
+    AQE broadcasts it when small; at web scale cap it to the top-K
+    vocabulary plus a floor for the tail, as CCNet does — and one
+    per-document aggregate. Nothing is quadratic.
+    """
+    base = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    tok = base.select(
+        id_col,
+        F.explode(F.split(F.lower(F.col("__t")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count("*").cast("long").alias("tf"),
+        F.countDistinct(id_col).cast("long").alias("dfreq"),
+    )
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tf").alias("__sum_tf"),
+            F.sum("dfreq").alias("__sum_df"),
+        )
+    )
+    def _mean(col: str):
+        return F.round(
+            F.col(col).cast("double") / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double"), 6
+        )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0).cast("long")).alias("n_tokens"),
+            F.coalesce(_mean("__sum_tf"), F.lit(0.0)).alias("mean_token_tf"),
+            F.coalesce(_mean("__sum_df"), F.lit(0.0)).alias("mean_token_df"),
+        )
+    )

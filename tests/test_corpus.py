@@ -1,6 +1,7 @@
 """Corpus dedup operators: n-gram Jaccard df-cap skew guard (VERDICT r1
 item 5) and cap-transparency on benign corpora."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import (
@@ -244,3 +245,25 @@ def test_chunk_documents_zero_exchange(spark):
     )
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_token_commonness_exact_values(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.corpus import token_commonness
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the cat"),   # corpus tf: the=4, cat=2 -> (4+4+2)/3
+            (2, "the cat zzz"),   # (4+2+1)/3
+            (3, "THE"),           # case-folds into 'the' -> 4/1
+            (4, ""),              # empty -> zeros
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in token_commonness(docs).collect()}
+    assert got[1]["n_tokens"] == 3
+    assert got[1]["mean_token_tf"] == pytest.approx(10 / 3, abs=1e-6)
+    # df: the appears in docs {1,2,3}=3, cat in {1,2}=2 -> (3+3+2)/3
+    assert got[1]["mean_token_df"] == pytest.approx(8 / 3, abs=1e-6)
+    assert got[2]["mean_token_tf"] == pytest.approx(7 / 3, abs=1e-6)
+    assert got[3]["mean_token_tf"] == 4.0 and got[3]["mean_token_df"] == 3.0
+    assert got[4]["n_tokens"] == 0 and got[4]["mean_token_tf"] == 0.0
