@@ -260,3 +260,29 @@ class CdfCursor:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.checkpoint_path)
+
+
+def cdf_increment_to_changes(
+    df: DataFrame, key_columns: Sequence[str], version: int
+) -> DataFrame:
+    """Adapt one CDF increment (``snapshot_diff`` output) into the raw
+    change-event shape the engine family consumes (``Scd2Table``,
+    ``CdcEngine.apply_batch``): insert/update → operation ``U`` with the
+    post-image payload, delete → ``D`` with a null payload, every row
+    stamped with the increment's ``version`` (callers typically pass the
+    drained-to snapshot id — monotone, so interval columns stay
+    ordered). This closes the loop: a downstream consumer can tail the
+    replica with :class:`CdfCursor` and maintain derived tables (SCD2
+    history, aggregates) through exactly the machinery the engine itself
+    uses against SQL Server. Pure projection — no shuffle."""
+    from ..functions.keys import OPERATION_COL, VERSION_COL
+
+    keys = list(key_columns)
+    payload = [c for c in df.columns if c not in keys and c != CHANGE_TYPE_COL]
+    is_del = F.col(CHANGE_TYPE_COL) == CT_DELETE
+    return df.select(
+        *keys,
+        *[F.when(~is_del, F.col(c)).alias(c) for c in payload],
+        F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias(OPERATION_COL),
+        F.lit(version).cast("long").alias(VERSION_COL),
+    )

@@ -418,3 +418,63 @@ def test_scd2_table_touched_buckets_only(spark, lake_root):
     # both intervals of key7 exist, old one closed at v=100
     k7 = _scd2_rows(hist.history().filter(F.col("k") == "key7"))
     assert k7 == {("key7", 7, 8, 100, False), ("key7", 777, 100, None, True)}
+
+
+def test_cdf_cursor_feeds_scd2_consumer(spark, lake_root, tmp_path):
+    """Composition: a downstream consumer tails the replica's change
+    feed with CdfCursor, adapts each increment via
+    cdf_increment_to_changes, and maintains its own SCD2 history table.
+    Point-in-time reads of the consumer table must equal the replica's
+    time-travel state at every drained snapshot — the full
+    source → engine → replica → CDF → derived-table loop."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.cdf import (
+        CdfCursor,
+        cdf_increment_to_changes,
+    )
+    from arcane_stream_sqlserver_change_tracking_spark.operators.scd2_table import (
+        Scd2Table,
+    )
+
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    table = LakeTable(spark, os.path.join(lake_root, "rep"))
+    eng = CdcEngine(
+        spark,
+        table,
+        EngineOptions(key_columns=("k",), num_buckets=4, max_events_per_batch=1000),
+    )
+    eng.bootstrap(payload)
+    hist = Scd2Table(
+        LakeTable(spark, os.path.join(lake_root, "hist")),
+        key_columns=["k"],
+        num_buckets=4,
+    )
+    hist.bootstrap(payload)
+    cursor = CdfCursor(table, str(tmp_path / "consumer.json"))
+
+    batches = [
+        [(i + 1, "U", f"k{i}", i) for i in range(6)],          # initial load
+        [(10, "U", "k1", 111), (11, "D", "k2", 0), (12, "U", "k9", 99)],
+        [(20, "U", "k1", 222), (21, "U", "k2", 7)],            # re-insert k2
+    ]
+    drained = []
+    for b in batches:
+        eng.run_incremental(_changelog(spark, b))
+        df, upto = cursor.poll()
+        hist.apply_batch(cdf_increment_to_changes(df, ["k"], upto))
+        cursor.commit(upto)
+        drained.append(upto)
+    assert cursor.poll() is None
+
+    for sid in drained:
+        replica = {
+            (r["k"], r["v"]) for r in table.read(snapshot_id=sid).select("k", "v").collect()
+        }
+        consumer = {
+            (r["k"], r["v"]) for r in hist.as_of(sid).select("k", "v").collect()
+        }
+        assert consumer == replica, f"snapshot {sid}"
+    # history depth: k1 has three intervals (two closed), k2 delete+re-insert
+    k1 = hist.history().filter(F.col("k") == "k1").collect()
+    assert len(k1) == 3 and sum(r["valid_to_version"] is None for r in k1) == 1
