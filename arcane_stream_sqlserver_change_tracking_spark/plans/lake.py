@@ -726,17 +726,31 @@ class LakeTable:
         out = shaped[0]
         for d in shaped[1:]:
             out = out.unionByName(d)
+        props = properties if properties is not None else (
+            self.current_snapshot().properties if self.exists() else {}
+        )
         # cluster by bucket inside each task so the partitioned writer
-        # keeps one open file at a time
-        out = out.sortWithinPartitions(_BUCKET, *(sort_within or []))
+        # keeps one open file at a time; a declared z-order property
+        # clusters file contents along the Morton curve of its columns so
+        # manifest min/max pruning works on ALL of them (functions/zorder)
+        sort_cols: list[Any] = [F.col(_BUCKET)]
+        zspec = props.get("zorder")
+        if zspec:
+            from ..functions.zorder import zorder_expr
+
+            sort_cols.append(
+                zorder_expr(
+                    {k: tuple(v) for k, v in zspec["bounds"].items()},
+                    int(zspec.get("bits", 16)),
+                )
+            )
+        sort_cols += [F.col(c) for c in (sort_within or [])]
+        out = out.sortWithinPartitions(*sort_cols)
         snap_dirname = dirname or f"s{snapshot_id:08d}-{uuid.uuid4().hex[:8]}"
         dest = os.path.join(self.data_dir, snap_dirname)
         writer = out.write.mode("overwrite")
         if max_rows_per_file:
             writer = writer.option("maxRecordsPerFile", str(max_rows_per_file))
-        props = properties if properties is not None else (
-            self.current_snapshot().properties if self.exists() else {}
-        )
         # expected NDV sizes the bloom bitset (~1.2 bytes/key at 1% fpp):
         # default to the file row cap so small micro-batch files carry
         # proportionally small filters instead of a fixed 1 MiB bitset

@@ -573,3 +573,66 @@ def test_distributed_and_driver_footer_stats_agree(spark, lake_root, monkeypatch
     )
     assert d_stats == j_stats
     assert any(f.get("stats", {}).get("v") for f in job_files.values())
+
+
+def test_zorder_prunes_files_on_every_clustered_column(spark, lake_root):
+    """Declared z-order property: a single-column sort prunes point
+    reads only on the leading column; the Morton layout keeps every
+    clustered column's per-file [min,max] narrow, so manifest-stats
+    pruning works on ALL of them."""
+    xy_schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+            T.StructField(MERGE_KEY_COL, T.StringType()),
+        ]
+    )
+
+    def grid(spark):
+        # 64x64 grid, one row per cell
+        return (
+            spark.range(64 * 64)
+            .select(
+                F.concat(F.lit("key"), F.col("id").cast("string")).alias("k"),
+                (F.col("id") % 64).alias("x"),
+                (F.col("id") / 64).cast("long").alias("y"),
+            )
+            .withColumn(MERGE_KEY_COL, merge_key_expr(["k"]))
+            .repartition(1)
+        )
+
+    zt = LakeTable(spark, os.path.join(lake_root, "z"))
+    zt.create(
+        xy_schema,
+        num_buckets=1,
+        properties={
+            "stats_columns": ["x", "y"],
+            "zorder": {"bounds": {"x": [0, 64], "y": [0, 64]}, "bits": 8},
+        },
+    )
+    zt.append(grid(spark), max_rows_per_file=256)  # 16 files = 16 z-tiles
+
+    lt = LakeTable(spark, os.path.join(lake_root, "lin"))
+    lt.create(
+        xy_schema, num_buckets=1, properties={"stats_columns": ["x", "y"]}
+    )
+    lt.append(grid(spark), sort_within=["x"], max_rows_per_file=256)
+
+    total = len(zt.read().inputFiles())
+    assert total >= 16
+    zx = len(zt.read(where={"x": 5}).inputFiles())
+    zy = len(zt.read(where={"y": 5}).inputFiles())
+    lx = len(lt.read(where={"x": 5}).inputFiles())
+    ly = len(lt.read(where={"y": 5}).inputFiles())
+    # linear sort: great on x, useless on y
+    assert lx <= 2 and ly == total
+    # z-order: strict pruning on BOTH axes (4 of 16 tiles per axis slab)
+    assert zx <= total // 2 and zy <= total // 2
+    # correctness unchanged: the hint is IO-only
+    assert zt.read(where={"y": 5}).filter(F.col("y") == 5).count() == 64
+    # the property rides the snapshot: later writes cluster the same way
+    zt.append(grid(spark), max_rows_per_file=256)
+    total2 = len(zt.read().inputFiles())
+    assert total2 >= 2 * total - 1
+    assert len(zt.read(where={"y": 5}).inputFiles()) <= total2 // 2
