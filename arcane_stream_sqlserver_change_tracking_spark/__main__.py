@@ -70,14 +70,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="replay a synthetic feed of this many events instead of --changelog")
     ap.add_argument("--bootstrap", action="store_true",
                     help="create the table + epoch watermark if absent")
-    ap.add_argument("--num-buckets", type=int, default=32)
-    ap.add_argument("--max-events-per-batch", type=int, default=500_000)
-    ap.add_argument("--behavior", choices=["overwrite", "merge"], default="overwrite")
+    # spec-overridable knobs default to None (= "not given"): an explicit
+    # CLI flag always wins, the spec fills the rest, hard defaults last.
+    # (Presence tests on raw argv break on '--behavior=merge' and argparse
+    # prefix abbreviation — sentinel defaults are the reliable signal.)
+    ap.add_argument("--num-buckets", type=int, default=None)
+    ap.add_argument("--max-events-per-batch", type=int, default=None)
+    ap.add_argument("--behavior", choices=["overwrite", "merge"], default=None)
     ap.add_argument("--shards", type=int, default=1,
                     help="backfill mode: >1 stages the reload as this many "
                          "restartable bucket-sliced shards (resume skips "
                          "completed shards)")
-    ap.add_argument("--trigger-seconds", type=int, default=15,
+    ap.add_argument("--trigger-seconds", type=int, default=None,
                     help="changeCaptureInterval analog (stream mode)")
     ap.add_argument("--available-now", action="store_true",
                     help="stream mode: drain available input then stop")
@@ -88,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="poll mode: comma-separated PK columns")
     ap.add_argument("--payload-columns", default="role,text,tool,ts",
                     help="poll mode: comma-separated non-PK columns")
-    ap.add_argument("--fetch-size", type=int, default=256)
+    ap.add_argument("--fetch-size", type=int, default=None)
     ap.add_argument("--spec", help="path to a reference-shaped stream spec "
                                    "JSON (the STREAMCONTEXT__SPEC body); "
                                    "engine options derive from it")
@@ -129,16 +133,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     table = LakeTable(spark, args.table)
     if cfg is not None:
-        # spec-derived options; launcher-only knobs layered on top
-        options = dataclasses.replace(
-            cfg.options,
-            num_buckets=args.num_buckets,
-            normalize_text_columns=("text",),
-        )
+        # spec-derived options; explicit CLI flags win over the spec
+        overrides: dict = {"normalize_text_columns": ("text",)}
+        if args.num_buckets is not None:
+            overrides["num_buckets"] = args.num_buckets
+        if args.max_events_per_batch is not None:
+            overrides["max_events_per_batch"] = args.max_events_per_batch
+        options = dataclasses.replace(cfg.options, **overrides)
     else:
         options = EngineOptions(
-            num_buckets=args.num_buckets,
-            max_events_per_batch=args.max_events_per_batch,
+            num_buckets=args.num_buckets or 32,
+            max_events_per_batch=args.max_events_per_batch or 500_000,
             normalize_text_columns=("text",),
         )
     emitters = []
@@ -151,7 +156,14 @@ def main(argv: list[str] | None = None) -> int:
         ))
     eng = CdcEngine(spark, table, options, emitters=emitters)
     if args.bootstrap and not table.exists():
-        eng.bootstrap(_payload_schema())
+        # spec's targetTableProperties reach the created table (bloom
+        # columns ride as a table property consumed by every write)
+        props = (
+            {"parquet_bloom_filter_columns": list(cfg.parquet_bloom_filter_columns)}
+            if cfg is not None and cfg.parquet_bloom_filter_columns
+            else None
+        )
+        eng.bootstrap(_payload_schema(), properties=props)
 
     mode = args.mode
     if cfg is not None and cfg.backfill and mode in ("replay", "stream"):
@@ -173,39 +185,66 @@ def main(argv: list[str] | None = None) -> int:
         for r in results:
             print(json.dumps(vars(r)))
     elif mode == "backfill":
-        behavior = args.behavior
-        if cfg is not None and "--behavior" not in (argv or sys.argv):
-            behavior = cfg.backfill_behavior  # streamMode.backfill spec default
+        behavior = args.behavior  # explicit flag wins (sentinel default)
+        if behavior is None:
+            behavior = cfg.backfill_behavior if cfg is not None else "overwrite"
         eng.backfill(_changelog(), behavior=behavior, shards=args.shards)
         print(json.dumps({"backfill": behavior,
                           "watermark": table.watermark()}))
     elif mode == "stream":
         if not args.landing:
             ap.error("--landing required in stream mode")
+        trigger = args.trigger_seconds
+        if trigger is None:
+            trigger = cfg.trigger_seconds if cfg is not None else 15
+        if cfg is not None and cfg.jitter_variance_seconds and not args.available_now:
+            # changeCaptureJitterVariance parity: one seeded draw offsets
+            # THIS stream's cadence so many streams sharing a server
+            # don't poll on the same instant (streaming triggers are
+            # fixed-period, so the jitter lands in the period itself)
+            import random
+
+            trigger = trigger + random.Random(cfg.jitter_seed).uniform(
+                0, cfg.jitter_variance_seconds
+            )
+            print(json.dumps({"notice": f"jittered trigger: {trigger:.3f}s"}))
         schema = spark.read.parquet(args.landing).schema
         q = run_stream(
             eng,
             changelog_file_stream(spark, args.landing, schema),
             args.checkpoint or f"{args.table}/_stream_ckpt",
-            processing_time=None if args.available_now else f"{args.trigger_seconds} seconds",
+            processing_time=None if args.available_now else f"{trigger} seconds",
             available_now=args.available_now,
         )
         q.awaitTermination()
     elif mode == "maintain":
         eng.run_maintenance()
-        print(json.dumps(table.analyze()))
+        print(json.dumps(table.analyze(
+            included_columns=cfg.analyze_included_columns if cfg is not None else None
+        )))
     elif mode == "poll":
         from .sources.mssql import MsSqlSource
 
-        if not (args.jdbc_url and args.source_table):
-            ap.error("--jdbc-url and --source-table required in poll mode")
+        # spec's source block fills anything the CLI left out
+        source_table = args.source_table or (
+            cfg.source.table_name if cfg is not None else None
+        )
+        source_schema = args.source_schema
+        if source_schema == "dbo" and cfg is not None and cfg.source.schema_name:
+            source_schema = cfg.source.schema_name
+        fetch = args.fetch_size
+        if fetch is None:
+            fetch = cfg.source.fetch_size if cfg is not None else 256
+        if not (args.jdbc_url and source_table):
+            ap.error("--jdbc-url and --source-table (or a spec with "
+                     "source.table) required in poll mode")
         src = MsSqlSource(
             url=args.jdbc_url,
-            schema_name=args.source_schema,
-            table_name=args.source_table,
+            schema_name=source_schema,
+            table_name=source_table,
             pk_columns=tuple(c for c in args.pk.split(",") if c),
             payload_columns=tuple(c for c in args.payload_columns.split(",") if c),
-            fetch_size=args.fetch_size,
+            fetch_size=fetch,
         )
         wm = eng.current_watermark()
         # retention guard: a watermark older than the server's min valid

@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -230,6 +231,14 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
             f"got {behavior!r}")
 
     included = analyze.get("includedColumns", None)
+    # ANALYZE settings also ride the engine options so the cadence runs
+    # inside run_incremental, not only in the launcher's maintain mode
+    options = dataclasses.replace(
+        options,
+        analyze_interval_batches=(
+            int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None),
+        analyze_included_columns=(list(included) if included is not None else None),
+    )
 
     return SpecConfig(
         options=options,

@@ -82,6 +82,11 @@ def snapshot_diff(
     new_cols = [c for c in new.columns if c not in keys]
     # evolved union, new side's order first — the output schema
     payload = list(dict.fromkeys(new_cols + old_cols))
+    if "_present" in payload or "_present" in keys:
+        raise ValueError(
+            "snapshot_diff reserves the column name '_present' for its "
+            "join-side presence marker; rename the input column"
+        )
     if compare_columns is None:
         compare_columns = payload
 
@@ -230,10 +235,20 @@ class CdfCursor:
             return None
         known = set(self.table.snapshot_log())
         if last not in known:
+            if last == 0:
+                # the created snapshot was expired by maintenance — a
+                # fresh consumer can still bootstrap: full current state
+                # as inserts (changes_between from nothing), then tail
+                df = self.table.changes_between(
+                    None, current.snapshot_id, key_columns=self.key_columns
+                )
+                return df, current.snapshot_id
             raise CursorBehindRetentionError(
                 f"cursor at snapshot {last} but the table retains only "
                 f"{sorted(known)[:1]}..{sorted(known)[-1:]} — maintenance "
-                f"expired the cursor's base; re-bootstrap the consumer"
+                f"expired the cursor's base; re-bootstrap the consumer "
+                f"(delete the checkpoint: a fresh beginning-cursor "
+                f"bootstraps from the current state)"
             )
         df = self.table.changes_between(
             last, current.snapshot_id, key_columns=self.key_columns

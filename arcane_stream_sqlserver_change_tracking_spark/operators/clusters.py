@@ -163,18 +163,23 @@ def select_representatives(
     keep-lowest-id default of :func:`near_dup_clusters`.
 
     Returns (cluster_id, rep_id, score_col). One Exchange on
-    ``cluster_col`` with a map-side-combined ``max(struct(score, −id))``
-    aggregate — no window over the full corpus, no second shuffle.
+    ``cluster_col`` (a top-1 window — works for ANY orderable id type;
+    a max(struct(score, −id)) aggregate would be map-side combined but
+    silently yields NULLs for string ids, so correctness wins here).
     ``scores`` is (id, score), e.g. ``quality_score_expr`` output.
     """
+    from pyspark.sql.window import Window
+
     joined = clusters.join(scores, id_col)
-    best = joined.groupBy(cluster_col).agg(
-        F.max(
-            F.struct(F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id"))
-        ).alias("b")
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
     )
-    return best.select(
-        cluster_col,
-        (-F.col("b")["neg_id"]).cast("long").alias("rep_id"),
-        F.col("b")["s"].alias(score_col),
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            cluster_col,
+            F.col(id_col).alias("rep_id"),
+            F.col(score_col),
+        )
     )

@@ -177,16 +177,28 @@ class Scd2Table:
         seq = int((base.watermark or {}).get("batch_seq", 0)) + 1
         payload = self._payload_columns()
 
+        # cache the keyed batch: its lineage (often an expensive upstream
+        # plan — e.g. a CdfCursor full-outer diff) is consumed three
+        # times below (bucket stats, key broadcast, events union) — the
+        # same reason the engine caches its deduped batch
         batch = with_merge_key(
             changes.filter(F.col(VERSION_COL) > F.lit(wm)), self.keys
-        )
-        stats = (
-            batch.groupBy(bucket_expr(MERGE_KEY_COL, self.num_buckets).alias("b"))
-            .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("v"))
-            .collect()
-        )
-        if not stats:
-            return Scd2BatchResult(seq, 0, wm, 0, time.monotonic() - t0, skipped=True)
+        ).cache()
+        try:
+            stats = (
+                batch.groupBy(bucket_expr(MERGE_KEY_COL, self.num_buckets).alias("b"))
+                .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("v"))
+                .collect()
+            )
+            if not stats:
+                return Scd2BatchResult(
+                    seq, 0, wm, 0, time.monotonic() - t0, skipped=True
+                )
+            return self._apply_prepared(batch, stats, base, payload, seq, t0)
+        finally:
+            batch.unpersist()
+
+    def _apply_prepared(self, batch, stats, base, payload, seq, t0) -> Scd2BatchResult:
         touched = sorted(int(r["b"]) for r in stats)
         max_version = max(int(r["v"]) for r in stats)
         rows_in = sum(int(r["rows"]) for r in stats)

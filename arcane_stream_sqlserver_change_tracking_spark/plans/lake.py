@@ -530,6 +530,25 @@ class LakeTable:
             "parquet_bloom_filter_columns": [MERGE_KEY_COL],
         }
         props.update(properties or {})
+        if props.get("zorder") is not None:
+            # the property rides every snapshot and drives every write:
+            # a malformed spec must fail HERE, not brick later appends
+            # with a bare KeyError deep inside the write path
+            from ..functions.zorder import zorder_expr
+
+            z = props["zorder"]
+            bounds = z.get("bounds") if isinstance(z, dict) else None
+            if not isinstance(bounds, dict) or not bounds:
+                raise ValueError(
+                    "table property 'zorder' must be "
+                    "{'bounds': {col: [lo, hi], ...}, 'bits': int}"
+                )
+            missing = [c for c in bounds if c not in schema.fieldNames()]
+            if missing:
+                raise ValueError(f"zorder bounds name unknown columns: {missing}")
+            zorder_expr(  # validates bounds ranges / bit budget
+                {k: tuple(v) for k, v in bounds.items()}, int(z.get("bits", 16))
+            )
         os.makedirs(self.data_dir, exist_ok=True)
         snap = Snapshot(
             snapshot_id=0, parent_id=None, schema=schema,
@@ -632,7 +651,12 @@ class LakeTable:
         """
         from ..operators.cdf import snapshot_diff
 
-        old = self.snapshot(from_snapshot_id)
+        # from_snapshot_id=None means "from nothing": the whole state at
+        # ``to`` as inserts — the bootstrap feed for a consumer whose
+        # base snapshot was expired by maintenance (diffing against an
+        # empty old side reuses the exact operator, so columns/labels
+        # match the incremental path one-for-one)
+        old = None if from_snapshot_id is None else self.snapshot(from_snapshot_id)
         new = self.snapshot(to_snapshot_id)
         keys = list(
             key_columns
@@ -648,19 +672,26 @@ class LakeTable:
         def _ident(m: dict[str, Any]) -> Any:
             return m.get("path")
 
-        touched = sorted(
-            b
-            for b in set(old.bucket_manifests) | set(new.bucket_manifests)
-            if _ident(old.bucket_manifests.get(b, {}))
-            != _ident(new.bucket_manifests.get(b, {}))
-        )
+        if old is None:
+            touched = sorted(new.bucket_manifests)
+        else:
+            touched = sorted(
+                b
+                for b in set(old.bucket_manifests) | set(new.bucket_manifests)
+                if _ident(old.bucket_manifests.get(b, {}))
+                != _ident(new.bucket_manifests.get(b, {}))
+            )
         payload_cols = [
             f.name
             for f in new.schema.fields
             if f.name not in keys and f.name not in ESSENTIAL_FIELDS
         ]
-        old_df = self.read(buckets=touched, snapshot_id=from_snapshot_id)
         new_df = self.read(buckets=touched, snapshot_id=to_snapshot_id)
+        old_df = (
+            new_df.limit(0)
+            if old is None
+            else self.read(buckets=touched, snapshot_id=from_snapshot_id)
+        )
         keep_old = [c for c in keys + payload_cols if c in old_df.columns]
         keep_new = [c for c in keys + payload_cols if c in new_df.columns]
         return snapshot_diff(

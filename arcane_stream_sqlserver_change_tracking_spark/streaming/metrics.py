@@ -77,9 +77,22 @@ class StatsdEmitter(MetricsEmitter):
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
             self._target: Any = address[len("unix://"):]
         else:
+            # "host", "host:port", or bare "port" — misconfig must fail
+            # AT CONSTRUCTION with a message naming the field, not as an
+            # int() traceback (and never at emit time: datagrams are
+            # fire-and-forget once the socket exists)
             host, _, port = address.rpartition(":")
+            if not host:  # no colon: a host with the default statsd port
+                host, port = (port, "") if not port.isdigit() else ("", port)
+            try:
+                port_num = int(port) if port else 8125
+            except ValueError:
+                raise ValueError(
+                    f"statsd address {address!r} is not host[:port], "
+                    "port[:digits], or unix:///path"
+                ) from None
             self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-            self._target = (host or "127.0.0.1", int(port))
+            self._target = (host or "127.0.0.1", port_num)
 
     def format(self, name: str, value: float, kind: str,
                tags: Mapping[str, str]) -> bytes:
@@ -106,17 +119,29 @@ class StatsdEmitter(MetricsEmitter):
 
 
 class JsonlEmitter(MetricsEmitter):
-    """One JSON line per metric point, appended to a local file."""
+    """One JSON line per metric point, appended to a local file.
+
+    The file handle is opened lazily and held until ``close()`` —
+    a batch fans out ~8 points, so per-point open/close would pay
+    thousands of redundant syscall round-trips over a long replay."""
 
     def __init__(self, path: str):
         self.path = path
+        self._f: Any = None
 
     def emit(self, name: str, value: float, kind: str,
              tags: Mapping[str, str]) -> None:
-        with open(self.path, "a") as f:
-            f.write(json.dumps(
-                {"metric": name, "value": value, "kind": kind, "tags": dict(tags)}
-            ) + "\n")
+        if self._f is None:
+            self._f = open(self.path, "a")
+        self._f.write(json.dumps(
+            {"metric": name, "value": value, "kind": kind, "tags": dict(tags)}
+        ) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
 
 
 class CallbackEmitter(MetricsEmitter):

@@ -92,6 +92,10 @@ class EngineOptions:
     max_rows_per_file: int = 1_000_000            # maxRowsPerFile analog (CRD:72-75)
     sort_within: tuple[str, ...] = ()             # sortedBy analog (docs/crd.md:117-119)
     maintenance_interval_batches: int = 60        # reference default (yaml-example:49-52)
+    # targetAnalyzeSettings parity: run ANALYZE every N applied batches
+    # ([] = all schema columns, None = manifest counts only — lake.analyze)
+    analyze_interval_batches: "int | None" = None
+    analyze_included_columns: "list | None" = None
     compact_file_threshold_bytes: int = 512 * 1024 * 1024
     expire_keep_last: int = 20
     # K3 retry policy (CRD:181-211): retry merge on transient errors
@@ -172,7 +176,8 @@ class CdcEngine:
     # ------------------------------------------------------------------
     # bootstrap (T5 DefaultStreamBootstrapper: ensure target + epoch wm)
     # ------------------------------------------------------------------
-    def bootstrap(self, payload_schema: T.StructType, epoch_version: int = 0) -> None:
+    def bootstrap(self, payload_schema: T.StructType, epoch_version: int = 0,
+                  properties: "dict | None" = None) -> None:
         fields = list(payload_schema.fields)
         names = {f.name for f in fields}
         if MERGE_KEY_COL not in names:
@@ -184,6 +189,7 @@ class CdcEngine:
             schema,
             num_buckets=self.opts.num_buckets,
             key_columns=list(self.opts.key_columns),
+            properties=properties,
             watermark={"version": epoch_version, "batch_seq": 0, "partitions": []},
         )
 
@@ -487,6 +493,7 @@ class CdcEngine:
                 results.append(res)
                 if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
                     self.run_maintenance()
+                self._maybe_analyze(res)
             return results
 
         with ThreadPoolExecutor(max_workers=1) as ex:
@@ -511,6 +518,7 @@ class CdcEngine:
                     results.append(res)
                     if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
                         self.run_maintenance()
+                    self._maybe_analyze(res)
             finally:
                 for f in staged_pending:
                     try:
@@ -660,6 +668,16 @@ class CdcEngine:
         self.table.remove_orphan_files(
             older_than_seconds=self.opts.orphan_min_age_seconds
         )
+
+    def _maybe_analyze(self, res: BatchResult) -> None:
+        """targetAnalyzeSettings cadence: ANALYZE every
+        ``analyze_interval_batches`` applied batches (reference
+        batchThreshold; docs/crd.md targetAnalyzeSettings)."""
+        it = self.opts.analyze_interval_batches
+        if it and not res.skipped and res.batch_seq % it == 0:
+            self.table.analyze(
+                included_columns=self.opts.analyze_included_columns
+            )
 
     # ------------------------------------------------------------------
     # reading the replicated state

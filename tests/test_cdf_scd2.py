@@ -246,16 +246,25 @@ def test_cdf_cursor_drain_resume_and_retention(spark, lake_root, tmp_path):
         cursor.commit(0)
     cursor.commit(upto2)
 
-    # churn + retention: expire everything but the latest snapshots so
-    # the cursor's base disappears, then demand the fail-fast
+    # churn + retention: expire everything but the latest snapshots
     for seq in range(3):
         eng.run_incremental(_changelog(spark, [(200 + seq, "U", "k1", 200 + seq)]))
     stale = CdfCursor(table, str(tmp_path / "stale.json"))
     df0, up0 = stale.poll()  # plans from snapshot 0
     df0.collect()
     table.expire_snapshots(keep_last=2)
+    # a FRESH consumer whose base (the created snapshot) was expired
+    # must still be able to attach: bootstrap = full current state as
+    # inserts (changes_between from nothing), then tail normally
+    dfb, upb = stale.poll()
+    got = {(r["k"], r["v"], r[CHANGE_TYPE_COL]) for r in dfb.collect()}
+    live = {(r["k"], r["v"], CT_INSERT) for r in table.read().select("k", "v").collect()}
+    assert got == live and upb == table.current_snapshot().snapshot_id
+    # a consumer stranded at an expired MID snapshot still fails fast —
+    # its increments are unrecoverable, unlike the fresh-bootstrap case
+    assert cursor.position() not in set(table.snapshot_log())
     with pytest.raises(CursorBehindRetentionError, match="re-bootstrap"):
-        stale.poll()
+        cursor.poll()
 
 
 def test_changes_between_requires_keys(spark, lake_root):

@@ -157,3 +157,16 @@ def test_select_representatives_quality_and_tiebreak(spark):
     assert got[4]["rep_id"] == 4                                # tie -> lowest id
     assert got[6]["rep_id"] == 6                                # singleton
     assert len(got) == 3
+
+
+def test_select_representatives_string_ids(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.clusters import select_representatives
+
+    clusters = spark.createDataFrame(
+        [("a", "c1"), ("b", "c1"), ("z", "c2")], "doc_id string, cluster_id string"
+    )
+    scores = spark.createDataFrame(
+        [("a", 0.9), ("b", 0.9), ("z", 0.1)], "doc_id string, quality double"
+    )
+    got = {r["cluster_id"]: r["rep_id"] for r in select_representatives(clusters, scores).collect()}
+    assert got == {"c1": "a", "c2": "z"}  # tie -> lowest id; no NULLs

@@ -636,3 +636,17 @@ def test_zorder_prunes_files_on_every_clustered_column(spark, lake_root):
     total2 = len(zt.read().inputFiles())
     assert total2 >= 2 * total - 1
     assert len(zt.read(where={"y": 5}).inputFiles()) <= total2 // 2
+
+
+def test_zorder_property_validated_at_create(spark, lake_root):
+    """A malformed zorder property must fail at create with a named
+    error, not brick every later write with a bare KeyError."""
+    t = LakeTable(spark, os.path.join(lake_root, "zbad"))
+    with pytest.raises(ValueError, match="zorder"):
+        t.create(SCHEMA, num_buckets=1, properties={"zorder": {"columns": ["v"]}})
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.create(SCHEMA, num_buckets=1,
+                 properties={"zorder": {"bounds": {"nope": [0, 1]}}})
+    with pytest.raises(ValueError, match="hi > lo"):
+        t.create(SCHEMA, num_buckets=1,
+                 properties={"zorder": {"bounds": {"v": [5, 5]}}})

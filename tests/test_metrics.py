@@ -134,3 +134,20 @@ def test_engine_emits_to_configured_collector(spark, lake_root):
     assert any(l.startswith("cdc.batch.apply_ms:") for l in lines), lines
     # the always-on jsonl record still lands
     assert os.path.exists(os.path.join(table.root, "metrics.jsonl"))
+
+
+def test_statsd_address_forms():
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.metrics import StatsdEmitter
+
+    # host without port -> default statsd port; misconfig fails AT
+    # CONSTRUCTION with a message naming the shape, not an int() traceback
+    e = StatsdEmitter("localhost")
+    assert e._target == ("localhost", 8125)
+    e.close()
+    e = StatsdEmitter("9125")
+    assert e._target == ("127.0.0.1", 9125)
+    e.close()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="statsd address"):
+        StatsdEmitter("host:notaport")
