@@ -55,7 +55,12 @@ from .operators.corpus import (
 )
 from .functions.text import redact_pii_expr
 from .functions.repetition import repetition_stats
-from .functions.sampling import hash_split, mix_corpus, stratified_sample
+from .functions.sampling import (
+    hash_split,
+    mix_corpus,
+    pack_sequences,
+    stratified_sample,
+)
 from .operators.clusters import near_dup_clusters, select_representatives
 from .operators.dedup import latest_change_per_key
 from .operators.fields import FieldFilter
@@ -852,6 +857,29 @@ FROM st
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-sequence packing: within-bucket running
+    token sums (window inside a hash partition, never a global
+    single-partition ordering) assign each doc the sequence its first
+    token lands in under pure concatenation."""
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_tokens=512)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS bigint) AS n_tokens,
+         ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 64 AS pack_bucket
+  FROM documents)
+SELECT doc_id, n_tokens, pack_bucket,
+       CAST(floor(coalesce(sum(n_tokens) OVER (
+             PARTITION BY pack_bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512)
+            AS bigint) AS pack_idx
+FROM d
+"""
+
+
 def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic, engine-portable train/val/test assignment — the
     bucket is sha256 of the id's decimal string, so the oracle can
@@ -1635,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "corpus_mix": q_corpus_mix,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "token_vocab": q_token_vocab,
         "token_commonness": q_token_commonness,
@@ -1684,6 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "corpus_mix": SQL_CORPUS_MIX,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition_stats": SQL_REPETITION,
         "token_vocab": SQL_TOKEN_VOCAB,
         "token_commonness": SQL_TOKEN_COMMONNESS,

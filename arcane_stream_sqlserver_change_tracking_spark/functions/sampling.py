@@ -138,3 +138,48 @@ def mix_corpus(
         s: min(1.0, token_budget * w / totals[s]) for s, w in weights.items() if totals.get(s)
     }
     return stratified_sample(df, rates, strata_col, id_col, buckets), rates
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Deterministic document→training-sequence packing plan.
+
+    Training loaders concatenate documents and cut fixed
+    ``seq_tokens``-token sequences; this computes, ahead of time and
+    reproducibly, WHICH sequence each document starts in: documents are
+    streamed in ``id_col`` order within their sha256 bucket, and a
+    document belongs to pack ``floor(preceding_token_sum / seq_tokens)``
+    — i.e. the sequence its first token lands in under pure
+    concatenation. Returns (id, n_tokens, pack_bucket, pack_idx).
+
+    100 TB shape: the running sum is a window WITHIN each hash bucket
+    (one Exchange on the bucket; parallelism = ``buckets``), never a
+    global single-partition ordering. Assignment is a pure function of
+    (id, token count), so it is stable across runs, partitionings, and
+    engines — the DuckDB oracle reproduces it bit-for-bit.
+    """
+    from pyspark.sql.window import Window
+    from .analysis import ws_token_count
+
+    if seq_tokens < 1:
+        raise ValueError(f"seq_tokens must be >= 1, got {seq_tokens}")
+    d = df.select(
+        F.col(id_col),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+        split_bucket(F.col(id_col), buckets).alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return d.withColumn(
+        "pack_idx",
+        F.floor(prev / F.lit(seq_tokens)).cast("long"),
+    )

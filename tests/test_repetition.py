@@ -142,3 +142,39 @@ def test_mix_corpus_drops_unweighted_sources(spark):
     sampled, rates = mix_corpus(df, {"a": 1.0}, token_budget=100)
     assert {r["source"] for r in sampled.collect()} == {"a"}
     assert set(rates) == {"a"}
+
+
+def test_pack_sequences_running_assignment(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.sampling import (
+        pack_sequences,
+        split_bucket,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 10) for i in range(50)], "doc_id long, text string"
+    )
+    got = pack_sequences(docs, seq_tokens=25, buckets=4).collect()
+    # recompute expectation in python: per bucket, id order, 10 tokens each
+    buckets = dict(
+        docs.select("doc_id", split_bucket(F.col("doc_id"), 4).alias("b")).collect()
+    )
+    expect = {}
+    running: dict = {}
+    for i in sorted(buckets):
+        b = buckets[i]
+        prev = running.get(b, 0)
+        expect[i] = prev // 25
+        running[b] = prev + 10
+    assert {r["doc_id"]: r["pack_idx"] for r in got} == expect
+    assert all(r["pack_bucket"] == buckets[r["doc_id"]] for r in got)
+    # stable under re-partitioning
+    again = pack_sequences(docs.repartition(7), seq_tokens=25, buckets=4).collect()
+    assert {r["doc_id"]: r["pack_idx"] for r in again} == expect
+
+
+def test_pack_sequences_rejects_bad_seq(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(docs, seq_tokens=0)
