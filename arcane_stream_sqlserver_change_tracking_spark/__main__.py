@@ -86,7 +86,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--available-now", action="store_true",
                     help="stream mode: drain available input then stop")
     ap.add_argument("--jdbc-url", help="poll mode: SQL Server JDBC url")
-    ap.add_argument("--source-schema", default="dbo")
+    ap.add_argument("--source-schema", default=None,
+                    help="poll mode source schema (default: spec's "
+                         "schemaName, else dbo)")
     ap.add_argument("--source-table")
     ap.add_argument("--pk", default="conv_id,turn_idx",
                     help="poll mode: comma-separated PK columns")
@@ -156,13 +158,18 @@ def main(argv: list[str] | None = None) -> int:
         ))
     eng = CdcEngine(spark, table, options, emitters=emitters)
     if args.bootstrap and not table.exists():
-        # spec's targetTableProperties reach the created table (bloom
-        # columns ride as a table property consumed by every write)
-        props = (
-            {"parquet_bloom_filter_columns": list(cfg.parquet_bloom_filter_columns)}
-            if cfg is not None and cfg.parquet_bloom_filter_columns
-            else None
-        )
+        # spec's targetTableProperties reach the created table; the
+        # merge key's bloom filter is an engine invariant (merge probes
+        # key it), so spec columns ADD to it rather than replace it
+        props = None
+        if cfg is not None and cfg.parquet_bloom_filter_columns:
+            from .functions.keys import MERGE_KEY_COL
+
+            props = {
+                "parquet_bloom_filter_columns": sorted(
+                    set(cfg.parquet_bloom_filter_columns) | {MERGE_KEY_COL}
+                )
+            }
         eng.bootstrap(_payload_schema(), properties=props)
 
     mode = args.mode
@@ -204,10 +211,16 @@ def main(argv: list[str] | None = None) -> int:
             # fixed-period, so the jitter lands in the period itself)
             import random
 
-            trigger = trigger + random.Random(cfg.jitter_seed).uniform(
-                0, cfg.jitter_variance_seconds
+            # round to ms: Spark's interval parser rejects the >9
+            # fractional digits a raw uniform() draw carries
+            trigger = round(
+                trigger
+                + random.Random(cfg.jitter_seed).uniform(
+                    0, cfg.jitter_variance_seconds
+                ),
+                3,
             )
-            print(json.dumps({"notice": f"jittered trigger: {trigger:.3f}s"}))
+            print(json.dumps({"notice": f"jittered trigger: {trigger}s"}))
         schema = spark.read.parquet(args.landing).schema
         q = run_stream(
             eng,
@@ -229,9 +242,11 @@ def main(argv: list[str] | None = None) -> int:
         source_table = args.source_table or (
             cfg.source.table_name if cfg is not None else None
         )
-        source_schema = args.source_schema
-        if source_schema == "dbo" and cfg is not None and cfg.source.schema_name:
-            source_schema = cfg.source.schema_name
+        source_schema = args.source_schema  # explicit flag wins
+        if source_schema is None:
+            source_schema = (
+                cfg.source.schema_name if cfg is not None else None
+            ) or "dbo"
         fetch = args.fetch_size
         if fetch is None:
             fetch = cfg.source.fetch_size if cfg is not None else 256

@@ -231,13 +231,17 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
             f"got {behavior!r}")
 
     included = analyze.get("includedColumns", None)
-    # ANALYZE settings also ride the engine options so the cadence runs
-    # inside run_incremental, not only in the launcher's maintain mode
+    analyze_included = list(included) if included is not None else None
+    analyze_interval = (
+        int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None
+    )
+    # ANALYZE settings ride the engine options (the cadence runs inside
+    # run_incremental); SpecConfig mirrors them for launcher modes that
+    # have no engine loop (maintain) — computed ONCE, two views
     options = dataclasses.replace(
         options,
-        analyze_interval_batches=(
-            int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None),
-        analyze_included_columns=(list(included) if included is not None else None),
+        analyze_interval_batches=analyze_interval,
+        analyze_included_columns=analyze_included,
     )
 
     return SpecConfig(
@@ -254,9 +258,8 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         jitter_seed=int(cc.get("changeCaptureJitterSeed", 0)),
         jitter_variance_seconds=interval * variance,
         metric_tags={str(k): str(v) for k, v in tags.items()},
-        analyze_included_columns=(list(included) if included is not None else None),
-        analyze_interval_batches=(
-            int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None),
+        analyze_included_columns=analyze_included,
+        analyze_interval_batches=analyze_interval,
         parquet_bloom_filter_columns=list(bloom),
         target_table=str(_get(spec, "sink.targetTableFullName", "")),
     )

@@ -774,8 +774,8 @@ FROM reach GROUP BY u
 def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-based near-dup retention: per cluster keep the highest-
     quality member (ties → lowest id) instead of the structural
-    lowest-id default. One Exchange on cluster_id, map-side-combined
-    max(struct(score, −id))."""
+    lowest-id default. One Exchange on cluster_id (top-1 window —
+    type-generic over the id column)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs, num_perms=16, num_bands=4)
     clusters = near_dup_clusters(pairs, docs, id_col="doc_id").select(

@@ -546,8 +546,21 @@ class LakeTable:
             missing = [c for c in bounds if c not in schema.fieldNames()]
             if missing:
                 raise ValueError(f"zorder bounds name unknown columns: {missing}")
+            for c, v in bounds.items():
+                if not isinstance(v, (list, tuple)) or len(v) != 2:
+                    raise ValueError(
+                        f"zorder bounds for {c!r} must be [lo, hi], got {v!r}"
+                    )
             zorder_expr(  # validates bounds ranges / bit budget
                 {k: tuple(v) for k, v in bounds.items()}, int(z.get("bits", 16))
+            )
+        bloom = props.get("parquet_bloom_filter_columns") or []
+        unknown = [c for c in bloom if c not in schema.fieldNames()]
+        if unknown:
+            # parquet silently ignores filter options for absent columns —
+            # a typo'd spec would disable pruning with zero signal
+            raise ValueError(
+                f"parquet_bloom_filter_columns name unknown columns: {unknown}"
             )
         os.makedirs(self.data_dir, exist_ok=True)
         snap = Snapshot(

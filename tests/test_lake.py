@@ -650,3 +650,16 @@ def test_zorder_property_validated_at_create(spark, lake_root):
     with pytest.raises(ValueError, match="hi > lo"):
         t.create(SCHEMA, num_buckets=1,
                  properties={"zorder": {"bounds": {"v": [5, 5]}}})
+
+
+def test_zorder_and_bloom_bound_shapes_validated(spark, lake_root):
+    t = LakeTable(spark, os.path.join(lake_root, "shapes"))
+    with pytest.raises(ValueError, match=r"must be \[lo, hi\]"):
+        t.create(SCHEMA, num_buckets=1,
+                 properties={"zorder": {"bounds": {"v": 5}}})
+    with pytest.raises(ValueError, match=r"must be \[lo, hi\]"):
+        t.create(SCHEMA, num_buckets=1,
+                 properties={"zorder": {"bounds": {"v": [0, 1, 2]}}})
+    with pytest.raises(ValueError, match="parquet_bloom_filter_columns"):
+        t.create(SCHEMA, num_buckets=1,
+                 properties={"parquet_bloom_filter_columns": ["nope"]})
