@@ -1239,9 +1239,24 @@ class LakeTable:
         if not targets:
             return None
         compacted = self.read(buckets=targets)
-        return self.replace_buckets(compacted, targets, lineage=[
-            {"maintenance": "rewrite_data_files", "buckets": sorted(targets)}
-        ])
+        # compact TOWARD the size target, not into one unbounded file per
+        # bucket: a 10 GB bucket must come out as ~20 files at 512 MB.
+        # Rows-per-byte is estimated from the very files being rewritten
+        # (their manifest row/byte counts), so the cap tracks the table's
+        # actual row width
+        rewritten = snap.files_for(targets)
+        total_rows = sum(int(f.get("rows", 0)) for f in rewritten)
+        total_bytes = sum(int(f.get("bytes", 0)) for f in rewritten)
+        cap = (
+            max(1, int(file_size_threshold_bytes * total_rows / total_bytes))
+            if total_rows and total_bytes
+            else None
+        )
+        return self.replace_buckets(
+            compacted, targets, max_rows_per_file=cap, lineage=[
+                {"maintenance": "rewrite_data_files", "buckets": sorted(targets)}
+            ]
+        )
 
     def expire_snapshots(self, keep_last: int = 5) -> list[str]:
         """Drop old snapshot manifests and delete data files (and bucket

@@ -663,3 +663,22 @@ def test_zorder_and_bloom_bound_shapes_validated(spark, lake_root):
     with pytest.raises(ValueError, match="parquet_bloom_filter_columns"):
         t.create(SCHEMA, num_buckets=1,
                  properties={"parquet_bloom_filter_columns": ["nope"]})
+
+
+def test_compaction_targets_file_size_not_one_file(spark, lake_root):
+    """OPTIMIZE must compact TOWARD the size threshold: a bucket whose
+    content exceeds the target comes out as multiple files near the
+    target, not one unbounded file."""
+    t = LakeTable(spark, os.path.join(lake_root, "csz"))
+    t.create(SCHEMA, num_buckets=1)
+    for i in range(4):
+        t.append(_df(spark, 1000, tag=i * 10_000).repartition(1))
+    files = t.current_snapshot().files
+    assert len(files) == 4
+    per_row = sum(f["bytes"] for f in files) / sum(f["rows"] for f in files)
+    # threshold ~ half the bucket's bytes -> expect ~2 output files
+    threshold = int(per_row * 2000)
+    t.rewrite_data_files(file_size_threshold_bytes=threshold)
+    after = t.current_snapshot().files
+    assert t.read().count() == 4000
+    assert 2 <= len(after) <= 3  # sized to target, not merged to 1
