@@ -178,3 +178,17 @@ def test_pack_sequences_rejects_bad_seq(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_sequences(docs, seq_tokens=0)
+
+
+def test_pack_sequences_single_bucket_exchange(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "w " * 5) for i in range(100)], "doc_id long, text string"
+    )
+    plan = pack_sequences(docs)._jdf.queryExecution().executedPlan().toString()
+    # one hash Exchange on the pack bucket; never a global (single
+    # partition) ordering
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(pack_bucket" in plan
+    assert "SinglePartition" not in plan
