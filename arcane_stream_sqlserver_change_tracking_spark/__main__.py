@@ -163,11 +163,16 @@ def main(argv: list[str] | None = None) -> int:
         # key it), so spec columns ADD to it rather than replace it
         props = None
         if cfg is not None and cfg.parquet_bloom_filter_columns:
-            from .functions.keys import MERGE_KEY_COL
+            from .functions.keys import MERGE_KEY_COL, normalize_column_name
 
+            # spec names are SOURCE column names; the lake stores
+            # normalized names (every batch runs normalize_column_names),
+            # and create() validates the property against the schema
             props = {
                 "parquet_bloom_filter_columns": sorted(
-                    set(cfg.parquet_bloom_filter_columns) | {MERGE_KEY_COL}
+                    {normalize_column_name(c)
+                     for c in cfg.parquet_bloom_filter_columns}
+                    | {MERGE_KEY_COL}
                 )
             }
         eng.bootstrap(_payload_schema(), properties=props)

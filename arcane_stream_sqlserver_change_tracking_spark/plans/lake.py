@@ -1221,39 +1221,54 @@ class LakeTable:
     def rewrite_data_files(
         self, file_size_threshold_bytes: int = 512 * 1024 * 1024,
         min_files_per_bucket: int = 2,
+        small_file_fraction: float = 0.75,
     ) -> Snapshot | None:
-        """Compact buckets that have ≥ min_files_per_bucket files below
-        the size threshold (reference OPTIMIZE, 512MB default,
-        stream-context-yaml-example.yaml:49-52)."""
+        """Compact buckets that have ≥ ``min_files_per_bucket`` files
+        below ``small_file_fraction × threshold`` (reference OPTIMIZE,
+        512MB default, stream-context-yaml-example.yaml:49-52).
+
+        Output files are SIZED to the threshold (not merged into one
+        unbounded file per bucket — a 10 GB bucket must come out as ~20
+        files at 512 MB). The fraction is what makes the cycle
+        CONVERGE: sized outputs land near the threshold, above the
+        small-file cut, so the next maintenance pass does not re-select
+        and endlessly re-rewrite an already-compacted bucket.
+        """
         snap = self._require()
+        small_cut = int(file_size_threshold_bytes * small_file_fraction)
         targets = []
         for b, m in snap.bucket_manifests.items():
             if m["files"] < min_files_per_bucket:
                 continue
             small = [
                 f for f in snap.files_for([b])
-                if f.get("bytes", 0) < file_size_threshold_bytes
+                if f.get("bytes", 0) < small_cut
             ]
             if len(small) >= min_files_per_bucket:
                 targets.append(b)
         if not targets:
             return None
         compacted = self.read(buckets=targets)
-        # compact TOWARD the size target, not into one unbounded file per
-        # bucket: a 10 GB bucket must come out as ~20 files at 512 MB.
-        # Rows-per-byte is estimated from the very files being rewritten
-        # (their manifest row/byte counts), so the cap tracks the table's
-        # actual row width
+        # rows-per-byte from the LARGEST rewritten file: small files are
+        # overhead-dominated (footer + bloom bitset), which would
+        # undersize the cap and churn the layout on the next cycle
         rewritten = snap.files_for(targets)
-        total_rows = sum(int(f.get("rows", 0)) for f in rewritten)
-        total_bytes = sum(int(f.get("bytes", 0)) for f in rewritten)
+        widest = max(
+            (f for f in rewritten if f.get("rows") and f.get("bytes")),
+            key=lambda f: int(f["bytes"]),
+            default=None,
+        )
         cap = (
-            max(1, int(file_size_threshold_bytes * total_rows / total_bytes))
-            if total_rows and total_bytes
+            max(1, int(file_size_threshold_bytes * int(widest["rows"])
+                       / int(widest["bytes"])))
+            if widest
             else None
         )
+        # base=snap: the small-file scan and the commit must validate
+        # against the SAME snapshot, else a merge landing in a target
+        # bucket between them would be silently overwritten
         return self.replace_buckets(
-            compacted, targets, max_rows_per_file=cap, lineage=[
+            compacted, targets, max_rows_per_file=cap, base=snap, lineage=[
                 {"maintenance": "rewrite_data_files", "buckets": sorted(targets)}
             ]
         )

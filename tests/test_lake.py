@@ -665,20 +665,46 @@ def test_zorder_and_bloom_bound_shapes_validated(spark, lake_root):
                  properties={"parquet_bloom_filter_columns": ["nope"]})
 
 
-def test_compaction_targets_file_size_not_one_file(spark, lake_root):
-    """OPTIMIZE must compact TOWARD the size threshold: a bucket whose
+def test_compaction_targets_file_size_and_converges(spark, lake_root):
+    """OPTIMIZE must compact TOWARD the size threshold — a bucket whose
     content exceeds the target comes out as multiple files near the
-    target, not one unbounded file."""
+    target, not one unbounded file — and the cycle must CONVERGE: a
+    second pass over the sized output is a no-op, not an endless
+    re-rewrite of the same bucket."""
     t = LakeTable(spark, os.path.join(lake_root, "csz"))
     t.create(SCHEMA, num_buckets=1)
+    # fat INCOMPRESSIBLE rows so file bytes are data-dominated AND the
+    # compression ratio is stable across file sizes (per-file overhead
+    # and LZ-window effects would otherwise distort the rows-per-byte
+    # estimate at this toy scale; at real 512MB files both are noise)
+    fat = F.concat_ws(
+        "", *[F.md5(((F.col("id") + 1) * (j + 7)).cast("string")) for j in range(16)]
+    )
     for i in range(4):
-        t.append(_df(spark, 1000, tag=i * 10_000).repartition(1))
+        df = (
+            spark.range(1000)
+            .select(
+                F.concat(fat, (F.col("id") + i * 10_000).cast("string")).alias("k"),
+                (F.col("id") + i * 10_000).alias("v"),
+            )
+            .withColumn(MERGE_KEY_COL, merge_key_expr(["k"]))
+            .repartition(1)
+        )
+        # size the bloom NDV to the actual rows: the default (the 1M row
+        # cap) writes a 1.2MB bitset per tiny file, drowning the data
+        t.append(df, max_rows_per_file=1000)
     files = t.current_snapshot().files
     assert len(files) == 4
     per_row = sum(f["bytes"] for f in files) / sum(f["rows"] for f in files)
     # threshold ~ half the bucket's bytes -> expect ~2 output files
     threshold = int(per_row * 2000)
-    t.rewrite_data_files(file_size_threshold_bytes=threshold)
+    assert t.rewrite_data_files(file_size_threshold_bytes=threshold) is not None
     after = t.current_snapshot().files
     assert t.read().count() == 4000
     assert 2 <= len(after) <= 3  # sized to target, not merged to 1
+    # convergence: sized outputs sit above the small-file cut, so the
+    # next maintenance pass selects nothing (no perpetual rewrite churn)
+    assert t.rewrite_data_files(file_size_threshold_bytes=threshold) is None
+    assert [f["path"] for f in t.current_snapshot().files] == [
+        f["path"] for f in after
+    ]
