@@ -166,3 +166,37 @@ def test_cli_replay_with_spec(spark, tmp_path, monkeypatch):
     t = LakeTable(spark, str(tmp_path / "t"))
     assert t.read().count() > 0
     assert t.watermark()["version"] == 2000
+
+
+def test_cli_maintain_mode_uses_spec_analyze_columns(spark, tmp_path):
+    """--mode maintain with a spec runs ANALYZE with the spec's
+    includedColumns ([] = all schema columns) and the spec's bloom
+    columns reach the created table's properties (union with the
+    merge key, names normalized)."""
+    import arcane_stream_sqlserver_change_tracking_spark.__main__ as cli
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(SPEC))
+    root = str(tmp_path / "m")
+    rc = cli.main([
+        "--mode", "replay", "--table", root, "--events", "500",
+        "--bootstrap", "--spec", str(spec_path), "--num-buckets", "2",
+    ])
+    assert rc == 0
+    t = LakeTable(spark, root)
+    assert "arcane_merge_key" in t.current_snapshot().properties[
+        "parquet_bloom_filter_columns"
+    ]
+    rc = cli.main(["--mode", "maintain", "--table", root,
+                   "--spec", str(spec_path)])
+    assert rc == 0
+    stats = t.current_snapshot().properties["stats"]
+    # includedColumns [] -> every schema column got stats
+    assert set(stats["columns"]) == set(t.schema().fieldNames())
+
+
+def test_spec_analyze_settings_ride_engine_options():
+    cfg = spec_to_config(SPEC)
+    assert cfg.options.analyze_interval_batches == 1800
+    assert cfg.options.analyze_included_columns == []
