@@ -210,20 +210,15 @@ def main(argv: list[str] | None = None) -> int:
         if trigger is None:
             trigger = cfg.trigger_seconds if cfg is not None else 15
         if cfg is not None and cfg.jitter_variance_seconds and not args.available_now:
-            # changeCaptureJitterVariance parity: one seeded draw offsets
-            # THIS stream's cadence so many streams sharing a server
-            # don't poll on the same instant (streaming triggers are
-            # fixed-period, so the jitter lands in the period itself)
-            import random
+            # one per-stream seeded draw offsets the fixed trigger period
+            # (streaming triggers are fixed-period, so the jitter lands
+            # in the period itself) — see jittered_trigger_seconds for
+            # the stream-id seed mixing
+            from .config import jittered_trigger_seconds
 
-            # round to ms: Spark's interval parser rejects the >9
-            # fractional digits a raw uniform() draw carries
-            trigger = round(
-                trigger
-                + random.Random(cfg.jitter_seed).uniform(
-                    0, cfg.jitter_variance_seconds
-                ),
-                3,
+            trigger = jittered_trigger_seconds(
+                trigger, cfg.jitter_seed, cfg.jitter_variance_seconds,
+                cfg.stream_id,
             )
             print(json.dumps({"notice": f"jittered trigger: {trigger}s"}))
         schema = spark.read.parquet(args.landing).schema

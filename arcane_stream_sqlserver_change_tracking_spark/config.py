@@ -21,10 +21,13 @@ so a platform operator can fix the manifest without reading this code.
 Unmapped spec sections are deliberate, documented drops: Iceberg REST
 catalog coordinates (``sink.icebergCatalog`` / ``staging.icebergCatalog``
 — this engine's lake IS the table format; the Iceberg metadata export
-seam is plans/iceberg_export.py), Trino connection parameters
+seam is plans/iceberg_export.py) and Trino connection parameters
 (``mergeServiceClient.connectionUrl`` etc. — MERGE runs in-engine, not
-on a remote SQL engine), and the memory-bound throughput shaper
-parameters (COVERAGE.md T2: Spark's memory manager owns this).
+on a remote SQL engine). The memory-bound throughput shaper IS mapped:
+``throughput.shaperImpl.memoryBound`` selects streaming/shaper.py's
+MemoryBoundShaper and its seven CRD parameters ride through as
+``EngineOptions.shaper_params`` (unknown keys are rejected by CRD
+path).
 """
 
 from __future__ import annotations
@@ -36,6 +39,7 @@ import dataclasses
 from dataclasses import dataclass, field
 from typing import Any
 
+from .functions.keys import normalize_column_name
 from .operators.fields import FieldFilter
 from .streaming.runner import EngineOptions
 
@@ -71,6 +75,19 @@ def parse_size_bytes(text: str, path: str) -> int:
     if not m:
         raise SpecError(f"{path}: not a size: {text!r} (want e.g. '512MB')")
     return int(float(m.group(1)) * _SIZE_UNITS[m.group(2).lower()])
+
+
+# throughput.shaperImpl.memoryBound body (CRD beta:446-478, dev.env.example
+# throughput block): CRD camelCase key -> (MemoryBoundShaper kwarg, coercion)
+_SHAPER_PARAM_KEYS: dict[str, tuple[str, type]] = {
+    "fallbackStringTypeSizeEstimate": ("fallback_string_size", int),
+    "objectTypeSizeEstimate": ("object_size", int),
+    "chunkCostScale": ("chunk_cost_scale", float),
+    "chunkCostMax": ("chunk_cost_max", int),
+    "tableRowCountWeight": ("table_row_count_weight", float),
+    "tableSizeWeight": ("table_size_weight", float),
+    "tableSizeScaleFactor": ("table_size_scale_factor", float),
+}
 
 
 def _get(spec: Any, path: str, default: Any = ...) -> Any:
@@ -190,12 +207,35 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         raise SpecError(
             f"throughput.shaperImpl: unknown variant {shaper_impl!r} "
             "(static|memoryBound)")
+    # The ACTIVE variant's body carries the shaper's tuning (a deployment
+    # tuned for e.g. tableSizeWeight 0.05 must not silently run with the
+    # 0.02 default); unknown keys fail by CRD path rather than vanish
+    shaper_params: dict[str, Any] = {}
+    if shaper_impl == "memoryBound":
+        body = shaper_node.get("memoryBound") or {}
+        for key, value in body.items():
+            if key not in _SHAPER_PARAM_KEYS:
+                raise SpecError(
+                    f"throughput.shaperImpl.memoryBound.{key}: unknown "
+                    f"parameter (one of {sorted(_SHAPER_PARAM_KEYS)})")
+            kwarg, coerce = _SHAPER_PARAM_KEYS[key]
+            try:
+                shaper_params[kwarg] = coerce(value)
+            except (TypeError, ValueError):
+                raise SpecError(
+                    f"throughput.shaperImpl.memoryBound.{key}: expected "
+                    f"{coerce.__name__}, got {value!r}") from None
 
     options = EngineOptions(
         max_events_per_batch=chunk,
         shaper_impl=shaper_impl,
+        shaper_params=shaper_params,
         max_rows_per_file=int(_get(spec, "staging.table.maxRowsPerFile", 1_000_000)),
-        sort_within=tuple(sorted_by),
+        # the lake stores NORMALIZED names (normalize_column_names runs on
+        # every batch), so sortedBy must be normalized too — mirroring the
+        # parquetBloomFilterColumns handling — or sortWithinPartitions
+        # fails unresolved on any special-character source column
+        sort_within=tuple(normalize_column_name(c) for c in sorted_by),
         retry_max_attempts=int(merge.get("queryRetryMaxAttempts", 3)),
         retry_base_seconds=parse_duration_seconds(
             retry_base, "sink.mergeServiceClient.queryRetryBaseDuration"),
@@ -230,7 +270,10 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
             "streamMode.backfill.backfillBehavior: expected Overwrite|Merge, "
             f"got {behavior!r}")
 
-    included = analyze.get("includedColumns", None)
+    # Reference docs: absent/empty includedColumns means "ALL columns will
+    # be included" — so a PRESENT targetAnalyzeSettings block without the
+    # key defaults to [] (all columns), not None (manifest counts only)
+    included = analyze.get("includedColumns", [] if analyze else None)
     analyze_included = list(included) if included is not None else None
     analyze_interval = (
         int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None
@@ -262,6 +305,35 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         analyze_interval_batches=analyze_interval,
         parquet_bloom_filter_columns=list(bloom),
         target_table=str(_get(spec, "sink.targetTableFullName", "")),
+    )
+
+
+def jittered_trigger_seconds(trigger_seconds: float, jitter_seed: int,
+                             jitter_variance_seconds: float,
+                             stream_id: str = "") -> float:
+    """changeCaptureJitterVariance parity: one seeded uniform draw in
+    ``[0, variance)`` offsets this stream's fixed trigger period so many
+    streams sharing a server don't poll on the same instant.
+
+    The stream id is MIXED into the seed: the CRD default
+    ``changeCaptureJitterSeed=0`` is shared by every stream, and
+    identical seeds would give identical offsets — exactly the
+    synchronized polling the jitter exists to break. sha256 of the id,
+    not ``hash()``: PYTHONHASHSEED must not change a stream's cadence
+    across restarts. Rounded to ms — Spark's interval parser rejects
+    the >9 fractional digits a raw ``uniform()`` draw carries."""
+    import hashlib
+    import random
+
+    if not jitter_variance_seconds:
+        return float(trigger_seconds)
+    stream_mix = int.from_bytes(
+        hashlib.sha256(stream_id.encode()).digest()[:8], "big")
+    return round(
+        trigger_seconds
+        + random.Random(jitter_seed ^ stream_mix).uniform(
+            0, jitter_variance_seconds),
+        3,
     )
 
 

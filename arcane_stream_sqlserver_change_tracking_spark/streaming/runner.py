@@ -125,6 +125,10 @@ class EngineOptions:
                                   # the advised baseline) | "memoryBound"
                                   # (sigmoid chunk-cost vs free memory,
                                   # streaming/shaper.py)
+    shaper_params: "dict | None" = None  # memoryBound body (chunkCostMax,
+                                  # tableSizeWeight, ... — spec_to_config
+                                  # maps CRD camelCase to shaper kwargs);
+                                  # None/{} = CRD defaults
     cache_serialized: bool = False  # serialized (lz4) cache blocks:
                                   # ~5-10x smaller heap footprint per
                                   # batch, pays ser/deser CPU — for
@@ -469,17 +473,20 @@ class CdcEngine:
         serial — the watermark sequence is untouched."""
         from concurrent.futures import ThreadPoolExecutor
 
+        from .shaper import build_shaper
+
         wm = self.current_watermark()
         pending = incremental_read(normalize_column_names(changelog), wm)
-        if self.opts.shaper_impl == "static":
-            chunk_size = self.opts.max_events_per_batch
-        else:  # T2 memory-bound shaper: schema-estimated row size vs
-            # free memory scales the advised chunk down under pressure
-            from .shaper import build_shaper
-
-            chunk_size = build_shaper(
-                self.opts.shaper_impl, self.opts.max_events_per_batch
-            ).advise(pending.schema)
+        # T2 throughput shaper: static returns the advised baseline;
+        # memoryBound scales it by schema-estimated row size vs free
+        # memory, with the spec's memoryBound body as tuning (CRD
+        # beta:446-478 via EngineOptions.shaper_params)
+        shaper = build_shaper(
+            self.opts.shaper_impl,
+            self.opts.max_events_per_batch,
+            **(self.opts.shaper_params or {}),
+        )
+        chunk_size = shaper.advise(pending.schema)
         chunks = version_chunks(pending, chunk_size)
         if max_batches is not None:
             chunks = chunks[:max_batches]
@@ -487,13 +494,36 @@ class CdcEngine:
         if not chunks:
             return results
 
+        def _rechunk(chunks: list, next_i: int, cur_size: int):
+            """CRD contract: memoryBound "UPDATES throughput based on
+            available free memory" — re-advise before each subsequent
+            batch and re-plan the remaining backlog when the advised
+            size moves materially (≥20% — chunk cost is a small
+            integer, so real pressure changes are discrete jumps; the
+            guard keeps stable-memory drains at zero extra agg jobs).
+            Static shaper advises a constant: never re-plans."""
+            if self.opts.shaper_impl == "static" or next_i >= len(chunks):
+                return chunks, cur_size
+            new_size = shaper.advise(pending.schema)
+            if max(new_size, cur_size) < 1.2 * min(new_size, cur_size):
+                return chunks, cur_size
+            remaining = version_chunks(
+                incremental_read(pending, chunks[next_i - 1][1]), new_size)
+            chunks = chunks[:next_i] + remaining
+            if max_batches is not None:
+                chunks = chunks[:max_batches]
+            return chunks, new_size
+
         if not self.opts.pipeline_batches or len(chunks) == 1:
-            for lo, hi in chunks:
-                res = self.apply_batch(chunk_filter(pending, lo, hi))
+            i = 0
+            while i < len(chunks):
+                res = self.apply_batch(chunk_filter(pending, *chunks[i]))
                 results.append(res)
                 if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
                     self.run_maintenance()
                 self._maybe_analyze(res)
+                i += 1
+                chunks, chunk_size = _rechunk(chunks, i, chunk_size)
             return results
 
         with ThreadPoolExecutor(max_workers=1) as ex:
@@ -501,9 +531,14 @@ class CdcEngine:
             fut = ex.submit(self._stage, chunk_filter(pending, *chunks[0]), wm)
             staged_pending = [fut]
             try:
-                for i in range(len(chunks)):
+                i = 0
+                while i < len(chunks):
                     deduped, stats = staged_pending.pop(0).result()
                     t_batch = time.monotonic() if i else t0
+                    # re-advise between batch i's staging and batch
+                    # i+1's submit — the only point where the next
+                    # chunk's bounds are still re-plannable
+                    chunks, chunk_size = _rechunk(chunks, i + 1, chunk_size)
                     if i + 1 < len(chunks):
                         nxt = ex.submit(
                             self._stage, chunk_filter(pending, *chunks[i + 1]), wm
@@ -519,6 +554,7 @@ class CdcEngine:
                     if maintenance and res.batch_seq % self.opts.maintenance_interval_batches == 0:
                         self.run_maintenance()
                     self._maybe_analyze(res)
+                    i += 1
             finally:
                 for f in staged_pending:
                     try:

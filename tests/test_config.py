@@ -200,3 +200,91 @@ def test_spec_analyze_settings_ride_engine_options():
     cfg = spec_to_config(SPEC)
     assert cfg.options.analyze_interval_batches == 1800
     assert cfg.options.analyze_included_columns == []
+
+
+def test_spec_shaper_params_ride_engine_options():
+    """ADVICE r4 (medium): the memoryBound BODY must reach the engine —
+    a deployment tuned for tableSizeWeight 0.05 must not silently run
+    with the 0.02 default."""
+    spec = json.loads(json.dumps(SPEC))
+    spec["throughput"]["shaperImpl"] = {"memoryBound": {
+        "chunkCostMax": 8,
+        "chunkCostScale": 2,
+        "fallbackStringTypeSizeEstimate": 100,
+        "objectTypeSizeEstimate": 2048,
+        "tableRowCountWeight": 0.05,
+        "tableSizeWeight": 0.05,
+        "tableSizeScaleFactor": 3,
+    }}
+    cfg = spec_to_config(spec)
+    assert cfg.options.shaper_impl == "memoryBound"
+    assert cfg.options.shaper_params == {
+        "chunk_cost_max": 8,
+        "chunk_cost_scale": 2.0,
+        "fallback_string_size": 100,
+        "object_size": 2048,
+        "table_row_count_weight": 0.05,
+        "table_size_weight": 0.05,
+        "table_size_scale_factor": 3.0,
+    }
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.shaper import (
+        build_shaper,
+    )
+
+    sh = build_shaper("memoryBound", cfg.options.max_events_per_batch,
+                      **cfg.options.shaper_params)
+    assert sh.chunk_cost_max == 8 and sh.table_size_weight == 0.05
+
+
+def test_spec_shaper_unknown_param_names_crd_path():
+    spec = json.loads(json.dumps(SPEC))
+    spec["throughput"]["shaperImpl"] = {"memoryBound": {"chunkCostMaxx": 8}}
+    with pytest.raises(
+        SpecError, match=r"throughput\.shaperImpl\.memoryBound\.chunkCostMaxx"
+    ):
+        spec_to_config(spec)
+
+
+def test_spec_sorted_by_normalized_to_lake_names():
+    """ADVICE r4: the lake stores NORMALIZED column names, so sortedBy
+    entries with special characters must normalize the same way the
+    batch columns do, or every write fails unresolved."""
+    spec = json.loads(json.dumps(SPEC))
+    spec["sink"]["targetTableProperties"]["sortedBy"] = ["Conv/Id$", "turn idx"]
+    cfg = spec_to_config(spec)
+    assert cfg.options.sort_within == ("ConvId", "turnidx")
+
+
+def test_spec_analyze_included_defaults_to_all_when_absent():
+    """Reference docs: absent/empty includedColumns = ALL columns. A
+    present targetAnalyzeSettings block without the key must default to
+    [] (all), not None (manifest counts only)."""
+    spec = json.loads(json.dumps(SPEC))
+    del spec["sink"]["maintenanceSettings"]["targetAnalyzeSettings"][
+        "includedColumns"]
+    cfg = spec_to_config(spec)
+    assert cfg.analyze_included_columns == []
+    assert cfg.options.analyze_included_columns == []
+    # whole block absent -> no analyze cadence at all
+    del spec["sink"]["maintenanceSettings"]["targetAnalyzeSettings"]
+    cfg = spec_to_config(spec)
+    assert cfg.analyze_included_columns is None
+    assert cfg.analyze_interval_batches is None
+
+
+def test_jittered_trigger_distinct_per_stream():
+    """ADVICE r4: with the CRD default changeCaptureJitterSeed=0 shared
+    by every stream, the per-stream id mixed into the seed must still
+    desynchronize cadences — and stay stable across restarts."""
+    from arcane_stream_sqlserver_change_tracking_spark.config import (
+        jittered_trigger_seconds,
+    )
+
+    a = jittered_trigger_seconds(15.0, 0, 2.25, "stream-a")
+    b = jittered_trigger_seconds(15.0, 0, 2.25, "stream-b")
+    assert a != b
+    assert a == jittered_trigger_seconds(15.0, 0, 2.25, "stream-a")
+    for v in (a, b):
+        assert 15.0 <= v < 15.0 + 2.25
+        assert round(v, 3) == v  # ms precision for Spark's interval parser
+    assert jittered_trigger_seconds(15.0, 0, 0.0, "s") == 15.0

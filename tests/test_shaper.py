@@ -130,3 +130,57 @@ def test_engine_memory_bound_wiring(spark, lake_root, monkeypatch):
     assert len(r_shaped) > len(r_static)       # pressure → smaller chunks
     final = lambda t: {(r["k"], r["v"]) for r in t.read().select("k", "v").collect()}
     assert final(t_static) == final(t_shaped)
+
+
+def test_engine_rechunks_when_memory_frees_mid_drain(spark, lake_root):
+    """ADVICE r4: the CRD contract is that memoryBound UPDATES
+    throughput with available memory — not a one-shot sizing before the
+    whole backlog is planned. Free memory starts tight (small chunks),
+    then frees right after the plan: the engine re-advises between
+    batches and re-plans the remaining backlog into bigger chunks, so
+    the drain finishes in far fewer batches — with identical final
+    state (chunking never changes semantics)."""
+    import os
+
+    from arcane_stream_sqlserver_change_tracking_spark.functions.keys import (
+        OPERATION_COL,
+        VERSION_COL,
+    )
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+        CdcEngine,
+        EngineOptions,
+    )
+
+    payload = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    log = spark.createDataFrame(
+        [(i + 1, "U", f"k{i % 40}", i) for i in range(400)],
+        f"{VERSION_COL} long, {OPERATION_COL} string, k string, v long",
+    )
+
+    calls = {"n": 0}
+
+    def free_bytes():  # tight at plan time, plentiful from then on
+        calls["n"] += 1
+        return 1024 if calls["n"] == 1 else 64 * 1024**3
+
+    def run(params, sub):
+        t = LakeTable(spark, os.path.join(lake_root, sub))
+        eng = CdcEngine(
+            spark, t,
+            EngineOptions(key_columns=("k",), num_buckets=4,
+                          max_events_per_batch=400,
+                          shaper_impl="memoryBound", shaper_params=params),
+        )
+        eng.bootstrap(payload)
+        return t, eng.run_incremental(log)
+
+    t_tight, r_tight = run({"free_bytes_fn": lambda: 1024}, "tight")
+    calls["n"] = 0
+    t_freed, r_freed = run({"free_bytes_fn": free_bytes}, "freed")
+    assert len(r_tight) >= 4                  # sustained pressure: many chunks
+    assert 1 < len(r_freed) < len(r_tight)    # re-advise merged the tail
+    final = lambda t: {(r["k"], r["v"]) for r in t.read().select("k", "v").collect()}
+    assert final(t_tight) == final(t_freed)
