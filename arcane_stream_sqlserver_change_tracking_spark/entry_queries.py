@@ -1186,6 +1186,37 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(d, every_n_bytes=64)
 
 
+def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path: synthesize a valid PPM/BMP/WAV file per doc_id
+    with the pure-Python encoders, then decode the actual headers back
+    (decode_stub='real', functions/codecs.py). The oracle recomputes
+    the synthesis parameters arithmetically — encode→decode must
+    round-trip to them, so a header-layout bug in EITHER direction
+    breaks the match."""
+    from .operators.multimodal import synth_media_payload
+
+    d = synth_media_payload(_t(spark, sf_dir, "documents"))
+    return decode_media(d, decode_stub="real").select(
+        "doc_id", "format", "width", "height", "channels",
+        "sample_rate", "n_samples")
+
+
+SQL_MM_CODEC = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(doc_id % 31 + 1 AS int) END AS width,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(doc_id % 17 + 1 AS int) END AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 2 + 1 ELSE 3 END AS int) AS channels,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 5) * 1000 AS int)
+            ELSE NULL END AS sample_rate,
+       CASE WHEN doc_id % 3 = 2 THEN CAST(doc_id % 50 + 8 AS bigint)
+            ELSE NULL END AS n_samples
+FROM documents
+"""
+
+
 SQL_MM_FRAMES = """
 WITH offs AS (
   SELECT doc_id, text,
@@ -1679,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "token_counts": q_token_counts,
@@ -1729,6 +1761,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": _sql_near_dup_lsh(),
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
+        "multimodal_codec_roundtrip": SQL_MM_CODEC,
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "token_counts": SQL_TOKEN_COUNTS,

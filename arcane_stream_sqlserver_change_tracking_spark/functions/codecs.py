@@ -1,0 +1,252 @@
+"""Pure-Python media codecs: PPM (P6/P3), BMP (24/32-bit), WAV (PCM).
+
+These close the multimodal ``decode_stub="real"`` seam
+(operators/multimodal.py) without external image/audio libraries: each
+format is simple enough that a correct reader/writer fits in numpy —
+headers parsed from the spec'd byte layout, pixel/sample payloads
+decoded with ``np.frombuffer`` (no per-pixel Python). The reference
+engine has no media surface (SURVEY.md §1.2); this is part of the
+training-data-pipeline extension.
+
+Format notes (public specs):
+
+* **PPM** — netpbm: ``P6`` (binary) / ``P3`` (ascii); header tokens
+  width, height, maxval separated by whitespace, ``#`` comments
+  allowed; maxval ≤ 255 → 1 byte/sample, else 2 bytes big-endian.
+* **BMP** — 14-byte file header (``BM``, file size, pixel-data offset)
+  + BITMAPINFOHEADER (≥40 bytes: width, height, bpp, compression);
+  uncompressed 24-bit BGR / 32-bit BGRA, rows padded to 4 bytes,
+  positive height = bottom-up row order.
+* **WAV** — RIFF container: ``fmt `` chunk (PCM=1 or IEEE float=3,
+  channels, sample rate, bits/sample) + ``data`` chunk; interleaved
+  frames; unknown chunks are skipped by declared size (word-aligned).
+
+Decoded images are ``uint8`` HxWx3 RGB arrays; audio is an
+(n_frames, channels) array. Encoders emit canonical minimal files, so
+encode→decode round-trips bit-identically — the property the tests
+pin.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PPM (netpbm P6 binary / P3 ascii)
+# ---------------------------------------------------------------------------
+
+
+def _ppm_tokens(buf: bytes, start: int, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer tokens from ``buf``
+    beginning at ``start``, honoring ``#`` comments; returns (tokens,
+    next offset)."""
+    toks: list[int] = []
+    i = start
+    while len(toks) < n:
+        while i < len(buf) and buf[i : i + 1].isspace():
+            i += 1
+        if i < len(buf) and buf[i : i + 1] == b"#":
+            while i < len(buf) and buf[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(buf) and not buf[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("ppm: truncated header")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """PPM bytes → uint8 HxWx3 RGB array (maxval>255 inputs are
+    rescaled to 8-bit)."""
+    magic = data[:2]
+    if magic not in (b"P6", b"P3"):
+        raise ValueError(f"ppm: bad magic {magic!r}")
+    (w, h, maxval), i = _ppm_tokens(data, 2, 3)
+    if w <= 0 or h <= 0 or not (0 < maxval < 65536):
+        raise ValueError(f"ppm: bad dimensions {w}x{h} maxval={maxval}")
+    n = w * h * 3
+    if magic == b"P3":
+        vals = np.array(data[i:].split()[:n], dtype=np.int64)
+        if vals.size != n:
+            raise ValueError("ppm: truncated P3 pixel data")
+    else:
+        i += 1  # exactly one whitespace byte separates header and raster
+        if maxval < 256:
+            raw = np.frombuffer(data, dtype=np.uint8, count=n, offset=i)
+            vals = raw.astype(np.int64)
+        else:
+            raw = np.frombuffer(data, dtype=">u2", count=n, offset=i)
+            vals = raw.astype(np.int64)
+    if maxval != 255:
+        vals = vals * 255 // maxval
+    return vals.astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 RGB array → canonical binary P6 bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"ppm: want HxWx3, got {img.shape}")
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP (uncompressed 24-bit BGR / 32-bit BGRA, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """BMP bytes → uint8 HxWx3 RGB array (alpha dropped for 32-bit)."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ValueError("bmp: bad magic or truncated file header")
+    (pix_off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"bmp: unsupported header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", data, 18)
+    planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32-bit default masks)
+        raise ValueError(f"bmp: unsupported compression {compression}")
+    if bpp not in (24, 32):
+        raise ValueError(f"bmp: unsupported bpp {bpp}")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bmp: bad dimensions {w}x{h}")
+    bytes_pp = bpp // 8
+    stride = (w * bytes_pp + 3) & ~3  # rows padded to 4 bytes
+    need = pix_off + stride * h
+    if len(data) < need:
+        raise ValueError(f"bmp: truncated pixel data ({len(data)} < {need})")
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                         offset=pix_off).reshape(h, stride)
+    px = rows[:, : w * bytes_pp].reshape(h, w, bytes_pp)
+    if not top_down:
+        px = px[::-1]
+    return px[:, :, 2::-1].copy()  # BGR(A) → RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 RGB array → canonical 24-bit bottom-up BMP bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"bmp: want HxWx3, got {img.shape}")
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    pix = rows.tobytes()
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                       2835, 2835, 0, 0)
+    return header + info + pix
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF, PCM integer / IEEE float)
+# ---------------------------------------------------------------------------
+
+_WAV_DTYPES = {(1, 8): np.uint8, (1, 16): np.dtype("<i2"),
+               (1, 32): np.dtype("<i4"), (3, 32): np.dtype("<f4")}
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → ((n_frames, channels) sample array, sample_rate)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("wav: bad RIFF/WAVE magic")
+    fmt = payload = None
+    i = 12
+    while i + 8 <= len(data):  # chunk walk: id + size, word-aligned
+        cid = data[i : i + 4]
+        (size,) = struct.unpack_from("<I", data, i + 4)
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            payload = body
+        i += 8 + size + (size & 1)
+    if fmt is None or payload is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    dtype = _WAV_DTYPES.get((audio_fmt, bits))
+    if dtype is None:
+        raise ValueError(f"wav: unsupported format {audio_fmt}/{bits}-bit")
+    if channels <= 0:
+        raise ValueError("wav: zero channels")
+    samples = np.frombuffer(payload, dtype=dtype)
+    frames = samples.size // channels
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, channels) int16 array → canonical PCM16 WAV bytes."""
+    samples = np.asarray(samples, dtype="<i2")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    payload = samples.tobytes()
+    block = channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate,
+                      sample_rate * block, block, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def sniff_media(data: bytes) -> str | None:
+    """Magic-byte detection: ``ppm`` | ``bmp`` | ``wav`` | None."""
+    if data[:2] in (b"P6", b"P3"):
+        return "ppm"
+    if data[:2] == b"BM":
+        return "bmp"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def decode_any(data: bytes) -> dict:
+    """Decode a blob by sniffed format into uniform metadata:
+    ``{format, width, height, channels, sample_rate, n_samples}`` —
+    image fields null for audio and vice versa. Raises ValueError on
+    unknown or malformed payloads (callers choose whether to
+    null-tolerate)."""
+    kind = sniff_media(data)
+    if kind == "ppm":
+        img = decode_ppm(data)
+        return {"format": "ppm", "width": img.shape[1], "height": img.shape[0],
+                "channels": 3, "sample_rate": None, "n_samples": None}
+    if kind == "bmp":
+        img = decode_bmp(data)
+        return {"format": "bmp", "width": img.shape[1], "height": img.shape[0],
+                "channels": 3, "sample_rate": None, "n_samples": None}
+    if kind == "wav":
+        audio, rate = decode_wav(data)
+        return {"format": "wav", "width": None, "height": None,
+                "channels": audio.shape[1], "sample_rate": rate,
+                "n_samples": audio.shape[0]}
+    raise ValueError(f"unrecognized media payload (first bytes {data[:4]!r})")
+
+
+def resize_image_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
+    """Nearest-neighbor resize via numpy index arithmetic (the classic
+    ``floor((i+0.5)*src/dst)`` sample grid) — no interpolation library
+    needed, exact for integer up/downscales."""
+    if w <= 0 or h <= 0:
+        raise ValueError(f"resize: bad target {w}x{h}")
+    src_h, src_w = img.shape[:2]
+    ys = np.minimum((np.arange(h) + 0.5) * src_h / h, src_h - 1).astype(np.int64)
+    xs = np.minimum((np.arange(w) + 0.5) * src_w / w, src_w - 1).astype(np.int64)
+    return img[ys[:, None], xs[None, :]]

@@ -1,6 +1,6 @@
 """Multimodal plumbing: binary payload synthesis, mapInPandas decode
-stub, 1-to-many frame sampling, resize stub, and the NotImplementedError
-gate for the real codec seam."""
+(fake byte-derived stub AND the real PPM/BMP/WAV codec path), 1-to-many
+frame sampling, and resize (stamp stub AND real nearest-neighbor)."""
 
 import hashlib
 
@@ -11,6 +11,7 @@ from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
     decode_media,
     resize_media,
     sample_frames,
+    synth_media_payload,
 )
 
 
@@ -53,6 +54,80 @@ def test_resize_stub_preserves_rows(spark, docs):
     assert (r["resized_width"], r["resized_height"]) == (224, 224)
 
 
-def test_real_decode_is_gated(spark, docs):
-    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
-        decode_media(attach_binary_payload(docs), decode_stub="real")
+def test_unknown_decode_stub_rejected(spark, docs):
+    with pytest.raises(ValueError, match="unknown decode_stub"):
+        decode_media(attach_binary_payload(docs), decode_stub="warp")
+
+
+IDS = [0, 1, 2, 5, 31, 46, 47, 100]  # covers all three formats + extremes
+
+
+@pytest.fixture()
+def media(spark):
+    ids = spark.createDataFrame([(i,) for i in IDS], "doc_id long")
+    return synth_media_payload(ids)
+
+
+def test_real_decode_roundtrips_synth_params(spark, media):
+    """synth (real encoders) → decode_stub='real' (real parsers) must
+    recover the synthesis parameters — the closed NotImplementedError
+    seam from the r4 verdict."""
+    out = {r["doc_id"]: r for r in decode_media(media, decode_stub="real").collect()}
+    assert set(out) == set(IDS)
+    for i in IDS:
+        r = out[i]
+        if i % 3 == 2:  # wav
+            assert r["format"] == "wav"
+            assert (r["width"], r["height"]) == (None, None)
+            assert r["channels"] == i % 2 + 1
+            assert r["sample_rate"] == 8000 + (i % 5) * 1000
+            assert r["n_samples"] == i % 50 + 8
+        else:           # ppm / bmp
+            assert r["format"] == ("ppm" if i % 3 == 0 else "bmp")
+            assert r["width"] == i % 31 + 1
+            assert r["height"] == i % 17 + 1
+            assert r["channels"] == 3
+            assert (r["sample_rate"], r["n_samples"]) == (None, None)
+        assert r["n_bytes"] > 0 and len(r["content_hash"]) == 64
+
+
+def test_real_resize_reencodes_images(spark, media):
+    """impl='real': images are decoded, nearest-neighbor resized, and
+    re-encoded in their ORIGINAL format; audio passes through untouched
+    with null geometry."""
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_any,
+        sniff_media,
+    )
+
+    before = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = resize_media(media, 8, 6, impl="real").collect()
+    assert len(out) == len(IDS)
+    for r in out:
+        i, blob = r["doc_id"], bytes(r["payload"])
+        if i % 3 == 2:  # audio: untouched
+            assert blob == before[i]
+            assert (r["resized_width"], r["resized_height"]) == (None, None)
+        else:
+            assert sniff_media(blob) == ("ppm" if i % 3 == 0 else "bmp")
+            meta = decode_any(blob)
+            assert (meta["width"], meta["height"]) == (8, 6)
+            assert (r["resized_width"], r["resized_height"]) == (8, 6)
+
+
+def test_real_resize_pixel_content(spark):
+    """The resized payload is the actual nearest-neighbor image, not a
+    re-stamped original: compare against resizing locally."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_ppm,
+        resize_image_nearest,
+    )
+
+    i = 3  # ppm, 4x4 (w = 3%31+1, h = 3%17+1)
+    ids = spark.createDataFrame([(i,)], "doc_id long")
+    src = decode_ppm(bytes(synth_media_payload(ids).collect()[0]["payload"]))
+    out = resize_media(synth_media_payload(ids), 9, 5, impl="real").collect()[0]
+    got = decode_ppm(bytes(out["payload"]))
+    assert np.array_equal(got, resize_image_nearest(src, 9, 5))
