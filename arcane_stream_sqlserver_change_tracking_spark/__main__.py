@@ -206,29 +206,27 @@ def main(argv: list[str] | None = None) -> int:
     elif mode == "stream":
         if not args.landing:
             ap.error("--landing required in stream mode")
-        trigger = args.trigger_seconds
-        if trigger is None:
-            trigger = cfg.trigger_seconds if cfg is not None else 15
-        if cfg is not None and cfg.jitter_variance_seconds and not args.available_now:
-            # one per-stream seeded draw offsets the fixed trigger period
-            # (streaming triggers are fixed-period, so the jitter lands
-            # in the period itself) — see jittered_trigger_seconds for
-            # the stream-id seed mixing
-            from .config import jittered_trigger_seconds
-
-            trigger = jittered_trigger_seconds(
-                trigger, cfg.jitter_seed, cfg.jitter_variance_seconds,
-                cfg.stream_id,
-            )
-            print(json.dumps({"notice": f"jittered trigger: {trigger}s"}))
         schema = spark.read.parquet(args.landing).schema
-        q = run_stream(
-            eng,
-            changelog_file_stream(spark, args.landing, schema),
-            args.checkpoint or f"{args.table}/_stream_ckpt",
-            processing_time=None if args.available_now else f"{trigger} seconds",
-            available_now=args.available_now,
-        )
+        stream = changelog_file_stream(spark, args.landing, schema)
+        ckpt = args.checkpoint or f"{args.table}/_stream_ckpt"
+        if cfg is not None:
+            # spec-driven streaming: changeCaptureInterval + per-stream
+            # seeded jitter become the processingTime trigger (an
+            # explicit --trigger-seconds still overrides the interval)
+            from .streaming.stream import run_stream_from_spec
+
+            q = run_stream_from_spec(
+                eng, stream, ckpt, cfg,
+                available_now=args.available_now,
+                trigger_override_seconds=args.trigger_seconds,
+            )
+        else:
+            trigger = 15 if args.trigger_seconds is None else args.trigger_seconds
+            q = run_stream(
+                eng, stream, ckpt,
+                processing_time=None if args.available_now else f"{trigger} seconds",
+                available_now=args.available_now,
+            )
         q.awaitTermination()
     elif mode == "maintain":
         eng.run_maintenance()

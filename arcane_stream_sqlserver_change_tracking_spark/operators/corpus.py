@@ -398,6 +398,7 @@ def token_commonness(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    exact_doc_freq: bool = True,
 ) -> DataFrame:
     """Corpus-frequency document scoring (the CCNet-style signal):
     per document, the mean corpus term-frequency and mean document-
@@ -413,20 +414,34 @@ def token_commonness(
     reproducible bit-for-bit across libm implementations).
 
     100 TB shape: one map-side-combined vocabulary aggregate (tf = total
-    occurrences, df = exact distinct docs per token), then the token
+    occurrences, df = distinct docs per token), then the token
     stream joins the (vocab-sized, corpus-independent) counts table —
     AQE broadcasts it when small; at web scale cap it to the top-K
     vocabulary plus a floor for the tail, as CCNet does — and one
     per-document aggregate. Nothing is quadratic.
+
+    ``exact_doc_freq``: same treatment as :func:`token_vocab` — exact
+    ``countDistinct`` (the oracle default; bit-exact cross-engine)
+    triggers Spark's distinct-aggregate rewrite, TWO Exchanges for the
+    vocabulary aggregate; at corpus scale pass ``False`` for
+    ``approx_count_distinct`` (HLL++, mergeable sketch → ONE map-side-
+    combined Exchange). The approx path changes only ``mean_token_df``
+    (a ~2%-error quality SIGNAL used for band thresholds, where HLL
+    error is immaterial); ``n_tokens`` and ``mean_token_tf`` stay
+    exact. Plan shapes pinned by tests/test_corpus.py.
     """
     base = df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
     tok = base.select(
         id_col,
         F.explode(F.split(F.lower(F.col("__t")), r"\s+")).alias("token"),
     ).filter(F.col("token") != "")
+    doc_freq = (
+        F.countDistinct(id_col) if exact_doc_freq
+        else F.approx_count_distinct(id_col)
+    )
     counts = tok.groupBy("token").agg(
         F.count("*").cast("long").alias("tf"),
-        F.countDistinct(id_col).cast("long").alias("dfreq"),
+        doc_freq.cast("long").alias("dfreq"),
     )
     per_doc = (
         tok.join(counts, "token")

