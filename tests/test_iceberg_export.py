@@ -270,3 +270,47 @@ def test_validator_catches_mutations(spark, lake_root):
     mutate(lambda d: d["properties"].update({"n": 3}), "properties")
     mutate(lambda d: d["schemas"][0]["fields"][0].update({"type": "varchar"}),
            "unknown primitive")
+
+
+def test_third_party_interop_script(spark, tmp_path):
+    """VERDICT r5 ask 1: scripts/third_party_iceberg_read.py. In this
+    sandbox all three readers are network-blocked, so the script's
+    probe must RECORD each attempt + exact error (the evidence
+    COVERAGE.md K2 and ICEBERG_INTEROP.json cite); its fixture
+    (multi-snapshot, schema-evolved, bucket-partitioned) and export
+    must pass the independent spec validator, so on any host where a
+    probe succeeds the same script validates for real."""
+    import importlib.util
+    import sys
+
+    spec = importlib.util.spec_from_file_location(
+        "third_party_iceberg_read",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "third_party_iceberg_read.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    probes = mod.probe_readers()
+    assert set(probes) == {"pyiceberg", "duckdb_iceberg", "spark_runtime_jar"}
+    for name, p in probes.items():
+        assert "attempt" in p and "available" in p
+        if not p["available"]:
+            assert p["error"], f"{name}: blocked probe must record its error"
+
+    table, snaps = mod.build_fixture(spark, str(tmp_path / "lake"))
+    assert len(snaps) == 4  # bootstrap + three applied batches
+    # schema evolved mid-chain: `tool` exists now, not at snapshot 1
+    assert "tool" in table.schema().fieldNames()
+    md_path = export_iceberg_metadata(table, str(tmp_path / "exp"))
+    v = _validator()
+    with open(md_path) as f:
+        assert v.validate(json.load(f)) == []
+
+    if any(p["available"] for p in probes.values()):
+        assert mod.main() == 0  # a reader exists here: run the real check
+    else:
+        with open(os.path.join(os.path.dirname(__file__), "..",
+                               "ICEBERG_INTEROP.json")) as f:
+            rec = json.load(f)
+        assert rec["status"] == "blocked"
+        assert all(r["error"] for r in rec["readers"].values())
