@@ -1217,6 +1217,49 @@ FROM documents
 """
 
 
+def q_multimodal_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL content feature extraction: decode every synthesized
+    PPM/BMP/WAV payload and compute exact integer stats over its pixel
+    values / PCM samples (operators/multimodal.py
+    extract_media_features). The oracle recomputes the stats from the
+    synthesis arithmetic with a lateral generate_series — every decoded
+    VALUE (not just headers) must round-trip."""
+    from .operators.multimodal import extract_media_features, synth_media_payload
+
+    return extract_media_features(
+        synth_media_payload(_t(spark, sf_dir, "documents")))
+
+
+#: value at flat index i: images (doc_id + i) % 256, wav
+#: (doc_id*31 + i) % 65536 - 32768 — mirrors synth_media_payload
+SQL_MM_FEATURES = """
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp' ELSE 'wav' END AS format,
+         CASE WHEN doc_id % 3 = 2
+              THEN (doc_id % 50 + 8) * (doc_id % 2 + 1)
+              ELSE (doc_id % 31 + 1) * (doc_id % 17 + 1) * 3 END AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, format,
+         unnest(generate_series(0, CAST(n - 1 AS bigint))) AS i
+  FROM params),
+vals AS (
+  SELECT doc_id, format,
+         CASE WHEN format = 'wav'
+              THEN (doc_id * 31 + i) % 65536 - 32768
+              ELSE (doc_id + i) % 256 END AS v
+  FROM idx)
+SELECT doc_id, format,
+       CAST(count(*) AS bigint) AS n_values,
+       CAST(sum(v) AS bigint) AS value_sum,
+       CAST(min(v) AS int) AS value_min,
+       CAST(max(v) AS int) AS value_max
+FROM vals
+GROUP BY doc_id, format
+"""
+
+
 SQL_MM_FRAMES = """
 WITH offs AS (
   SELECT doc_id, text,
@@ -1711,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
+        "multimodal_feature_stats": q_multimodal_feature_stats,
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "token_counts": q_token_counts,
@@ -1762,6 +1806,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_decode": SQL_MM_DECODE,
         "multimodal_frames": SQL_MM_FRAMES,
         "multimodal_codec_roundtrip": SQL_MM_CODEC,
+        "multimodal_feature_stats": SQL_MM_FEATURES,
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "token_counts": SQL_TOKEN_COUNTS,

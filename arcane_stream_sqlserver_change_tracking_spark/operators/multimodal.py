@@ -195,6 +195,58 @@ def decode_media(
     return df.select(id_col, payload_col).mapInPandas(_decode, DECODED_SCHEMA)
 
 
+#: extract_media_features output — exact-integer content statistics
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+        T.StructField("value_min", T.IntegerType()),
+        T.StructField("value_max", T.IntegerType()),
+    ]
+)
+
+
+def extract_media_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL feature extraction over decoded media content (not header
+    metadata): per blob, the exact count/sum/min/max of its decoded
+    values — pixel channel values for PPM/BMP, PCM samples for WAV.
+    Everything is integer-exact, so the result is bit-identical across
+    engines (the same property token_commonness relies on) and the
+    DuckDB oracle can recompute it from the synthesis parameters.
+    A real pipeline swaps the stats for embeddings/mel-spectrograms at
+    this exact seam; batch shape and schema discipline are identical."""
+    import numpy as np
+
+    from ..functions.codecs import decode_bmp, decode_ppm, decode_wav, sniff_media
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                b = bytes(b)
+                kind = sniff_media(b)
+                if kind in ("ppm", "bmp"):
+                    vals = (decode_ppm(b) if kind == "ppm"
+                            else decode_bmp(b)).astype(np.int64).ravel()
+                elif kind == "wav":
+                    vals = decode_wav(b)[0].astype(np.int64).ravel()
+                else:
+                    raise ValueError(f"doc {i}: unrecognized media payload")
+                rows.append((int(i), kind, vals.size, int(vals.sum()),
+                             int(vals.min()), int(vals.max())))
+            yield pd.DataFrame(rows, columns=["doc_id", "format", "n_values",
+                                              "value_sum", "value_min",
+                                              "value_max"])
+
+    return df.select(id_col, payload_col).mapInPandas(_extract, FEATURES_SCHEMA)
+
+
 def resize_media(
     df: DataFrame,
     target_width: int,

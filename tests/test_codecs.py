@@ -172,3 +172,68 @@ def test_resize_nearest_arithmetic():
     assert np.array_equal(down, img[1::2, 1::2])
     with pytest.raises(ValueError, match="bad target"):
         resize_image_nearest(img, 0, 2)
+
+
+# ---------------------------------------------------------------- properties
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+pytestmark_hyp = pytest.mark.skipif(not HAVE_HYPOTHESIS,
+                                    reason="hypothesis not installed")
+
+
+@pytestmark_hyp
+@settings(max_examples=50, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24), seed=st.integers(0, 10_000))
+def test_prop_ppm_bmp_roundtrip(h, w, seed):
+    img = ((seed + np.arange(h * w * 3)) * 2654435761 % 256).astype(
+        np.uint8).reshape(h, w, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@pytestmark_hyp
+@settings(max_examples=50, deadline=None)
+@given(frames=st.integers(1, 200), ch=st.integers(1, 4),
+       rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+       seed=st.integers(0, 10_000))
+def test_prop_wav_roundtrip(frames, ch, rate, seed):
+    samples = ((seed + np.arange(frames * ch)) * 48271 % 65536 - 32768).astype(
+        "<i2").reshape(frames, ch)
+    audio, got = decode_wav(encode_wav(samples, rate))
+    assert got == rate and np.array_equal(audio, samples)
+
+
+@pytestmark_hyp
+@settings(max_examples=40, deadline=None)
+@given(h=st.integers(1, 16), w=st.integers(1, 16),
+       th=st.integers(1, 40), tw=st.integers(1, 40))
+def test_prop_resize_samples_from_source(h, w, th, tw):
+    """Every output pixel of a nearest-neighbor resize is some source
+    pixel, dims are exact, and identity resize is a no-op."""
+    img = (np.arange(h * w * 3) % 251).astype(np.uint8).reshape(h, w, 3)
+    out = resize_image_nearest(img, tw, th)
+    assert out.shape == (th, tw, 3)
+    src = {tuple(p) for p in img.reshape(-1, 3)}
+    assert {tuple(p) for p in out.reshape(-1, 3)} <= src
+    assert np.array_equal(resize_image_nearest(img, w, h), img)
+
+
+@pytestmark_hyp
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=200))
+def test_prop_decoders_never_crash_unstructured(data):
+    """Arbitrary bytes either decode or raise ValueError — never an
+    unhandled IndexError/struct.error from header parsing (malformed
+    blobs at 100 TB are routine, and mapInPandas would kill the task)."""
+    for fn in (decode_ppm, decode_bmp, decode_wav, decode_any):
+        try:
+            fn(data)
+        except ValueError:
+            pass

@@ -131,3 +131,44 @@ def test_real_resize_pixel_content(spark):
     out = resize_media(synth_media_payload(ids), 9, 5, impl="real").collect()[0]
     got = decode_ppm(bytes(out["payload"]))
     assert np.array_equal(got, resize_image_nearest(src, 9, 5))
+
+
+def test_feature_stats_match_local_decode(spark, media):
+    """extract_media_features computes stats over the DECODED content —
+    cross-check a sample against decoding locally with the same codecs."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        sniff_media,
+    )
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    blobs = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    out = {r["doc_id"]: r for r in extract_media_features(media).collect()}
+    assert set(out) == set(blobs)
+    for i, b in blobs.items():
+        kind = sniff_media(b)
+        vals = (decode_wav(b)[0] if kind == "wav"
+                else decode_ppm(b) if kind == "ppm"
+                else decode_bmp(b)).astype(np.int64).ravel()
+        r = out[i]
+        assert r["format"] == kind
+        assert r["n_values"] == vals.size
+        assert r["value_sum"] == int(vals.sum())
+        assert (r["value_min"], r["value_max"]) == (int(vals.min()), int(vals.max()))
+
+
+def test_feature_stats_rejects_unknown_payload(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    bad = spark.createDataFrame([(1, bytearray(b"\x89PNG junk"))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="unrecognized media payload"):
+        extract_media_features(bad).collect()
