@@ -27,7 +27,14 @@ on a remote SQL engine). The memory-bound throughput shaper IS mapped:
 ``throughput.shaperImpl.memoryBound`` selects streaming/shaper.py's
 MemoryBoundShaper and its seven CRD parameters ride through as
 ``EngineOptions.shaper_params`` (unknown keys are rejected by CRD
-path).
+path). ``throughput.advisedRate`` / ``advisedBurst`` are deliberate
+drops: they tune the reference's in-process poll rate-limiter
+(ZStream throttling), whose two jobs — poll cadence and per-tick
+volume — map here to the trigger interval
+(``streamMode.changeCapture.changeCaptureInterval``, already mapped)
+and the chunk planner (``advisedChunkSize`` → count-balanced
+``version_chunks``), so a second rate knob would be a conflicting
+duplicate, not added fidelity.
 """
 
 from __future__ import annotations
