@@ -386,3 +386,44 @@ def test_run_stream_from_spec_jittered_trigger(spark, tmp_path):
         assert 60.0 <= expected < 69.0  # 60s interval, 15% variance
     finally:
         q.stop()
+
+
+def test_cli_replay_memory_bound_spec_params_e2e(spark, tmp_path, monkeypatch):
+    """The ADVICE fix through the WHOLE stack: a spec selecting
+    memoryBound with tuned parameters must shape the CLI replay's
+    chunking (more batches under a tiny injected memory budget than the
+    static plan), not silently run with defaults."""
+    import arcane_stream_sqlserver_change_tracking_spark.streaming.shaper as shaper_mod
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+
+    import arcane_stream_sqlserver_change_tracking_spark.__main__ as cli
+
+    monkeypatch.setattr(shaper_mod, "proc_mem_available", lambda: 4096)
+    spec = {
+        "sink": {"targetTableFullName": "mb.test.table"},
+        "throughput": {
+            "advisedChunkSize": 3000,
+            "shaperImpl": {"memoryBound": {
+                "chunkCostMax": 6,
+                "chunkCostScale": 4,
+                "tableSizeWeight": 0.05,
+            }},
+        },
+    }
+    spec_path = tmp_path / "spec.json"
+    spec_path.write_text(json.dumps(spec))
+    root = str(tmp_path / "t")
+    rc = cli.main([
+        "--mode", "replay", "--table", root, "--events", "3000",
+        "--bootstrap", "--spec", str(spec_path), "--num-buckets", "2",
+    ])
+    assert rc == 0
+    t = LakeTable(spark, root)
+    assert t.watermark()["version"] == 3000
+    # static would drain 3000 events in ONE batch (advised 3000); the
+    # tuned memoryBound shaper under a 4KB budget must have split it
+    import os
+
+    with open(os.path.join(root, "metrics.jsonl")) as f:
+        batches = [json.loads(l) for l in f if '"batch_applied"' in l]
+    assert len(batches) > 1

@@ -172,3 +172,19 @@ def test_feature_stats_rejects_unknown_payload(spark):
                                 "doc_id long, payload binary")
     with pytest.raises(Exception, match="unrecognized media payload"):
         extract_media_features(bad).collect()
+
+
+def test_media_pipeline_plan_has_zero_exchange(spark, media):
+    """100 TB shape pin: synth → decode → feature-extract is per-row
+    work that must stay IN the scan stage — no Exchange anywhere. At
+    petabyte media scale a shuffle of blob payloads would dominate the
+    job; mapInPandas chains must not introduce one."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    for df in (decode_media(media, decode_stub="real"),
+               extract_media_features(media),
+               resize_media(media, 8, 6, impl="real")):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
