@@ -1260,6 +1260,82 @@ GROUP BY doc_id, format
 """
 
 
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPRESSED codec path: a 4-way PPM/BMP/WAV/PNG format mix
+    (synth_media_payload formats=...), so every 4th payload goes
+    through real zlib deflate on encode and inflate + scanline
+    unfiltering + CRC checks on decode (functions/codecs.py
+    encode_png/decode_png). The oracle recomputes the synthesis
+    parameters arithmetically — a header, compression, or filter bug
+    in either direction breaks the match."""
+    from .operators.multimodal import synth_media_payload
+
+    d = synth_media_payload(_t(spark, sf_dir, "documents"),
+                            formats=("ppm", "bmp", "wav", "png"))
+    return decode_media(d, decode_stub="real").select(
+        "doc_id", "format", "width", "height", "channels",
+        "sample_rate", "n_samples")
+
+
+SQL_MM_PNG_DECODE = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                       WHEN 2 THEN 'wav' ELSE 'png' END AS format,
+       CASE WHEN doc_id % 4 = 2 THEN NULL
+            ELSE CAST(doc_id % 31 + 1 AS int) END AS width,
+       CASE WHEN doc_id % 4 = 2 THEN NULL
+            ELSE CAST(doc_id % 17 + 1 AS int) END AS height,
+       CAST(CASE WHEN doc_id % 4 = 2 THEN doc_id % 2 + 1 ELSE 3 END AS int) AS channels,
+       CASE WHEN doc_id % 4 = 2 THEN CAST(8000 + (doc_id % 5) * 1000 AS int)
+            ELSE NULL END AS sample_rate,
+       CASE WHEN doc_id % 4 = 2 THEN CAST(doc_id % 50 + 8 AS bigint)
+            ELSE NULL END AS n_samples
+FROM documents
+"""
+
+
+def q_multimodal_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level check of the PNG path: exact integer stats over the
+    DECODED pixel values of the 4-format mix — every byte that went
+    through deflate must come back out, so this catches any
+    unfiltering or decompression corruption that header fields can't
+    see (headers are stored uncompressed in IHDR)."""
+    from .operators.multimodal import extract_media_features, synth_media_payload
+
+    return extract_media_features(
+        synth_media_payload(_t(spark, sf_dir, "documents"),
+                            formats=("ppm", "bmp", "wav", "png")))
+
+
+SQL_MM_PNG_FEATURES = """
+WITH params AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                         WHEN 2 THEN 'wav' ELSE 'png' END AS format,
+         CASE WHEN doc_id % 4 = 2
+              THEN (doc_id % 50 + 8) * (doc_id % 2 + 1)
+              ELSE (doc_id % 31 + 1) * (doc_id % 17 + 1) * 3 END AS n
+  FROM documents),
+idx AS (
+  SELECT doc_id, format,
+         unnest(generate_series(0, CAST(n - 1 AS bigint))) AS i
+  FROM params),
+vals AS (
+  SELECT doc_id, format,
+         CASE WHEN format = 'wav'
+              THEN (doc_id * 31 + i) % 65536 - 32768
+              ELSE (doc_id + i) % 256 END AS v
+  FROM idx)
+SELECT doc_id, format,
+       CAST(count(*) AS bigint) AS n_values,
+       CAST(sum(v) AS bigint) AS value_sum,
+       CAST(min(v) AS int) AS value_min,
+       CAST(max(v) AS int) AS value_max
+FROM vals
+GROUP BY doc_id, format
+"""
+
+
 SQL_MM_FRAMES = """
 WITH offs AS (
   SELECT doc_id, text,
@@ -1755,6 +1831,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_codec_roundtrip": q_multimodal_codec_roundtrip,
         "multimodal_feature_stats": q_multimodal_feature_stats,
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "multimodal_png_features": q_multimodal_png_features,
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "token_counts": q_token_counts,
@@ -1807,6 +1885,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frames": SQL_MM_FRAMES,
         "multimodal_codec_roundtrip": SQL_MM_CODEC,
         "multimodal_feature_stats": SQL_MM_FEATURES,
+        "multimodal_png_decode": SQL_MM_PNG_DECODE,
+        "multimodal_png_features": SQL_MM_PNG_FEATURES,
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -1,4 +1,5 @@
-"""Pure-Python media codecs: PPM (P6/P3), BMP (24/32-bit), WAV (PCM).
+"""Pure-Python media codecs: PPM (P6/P3), BMP (24/32-bit), WAV (PCM),
+PNG (8-bit, non-interlaced — stdlib zlib).
 
 These close the multimodal ``decode_stub="real"`` seam
 (operators/multimodal.py) without external image/audio libraries: each
@@ -20,6 +21,18 @@ Format notes (public specs):
 * **WAV** — RIFF container: ``fmt `` chunk (PCM=1 or IEEE float=3,
   channels, sample rate, bits/sample) + ``data`` chunk; interleaved
   frames; unknown chunks are skipped by declared size (word-aligned).
+* **PNG** — the one COMPRESSED format here, feasible without an image
+  library because its compression is stdlib ``zlib``: 8-byte
+  signature, CRC-checked chunks (IHDR geometry/color-type, optional
+  PLTE palette, concatenated IDAT deflate stream, IEND), scanlines
+  prefixed by a per-row filter byte (0 None, 1 Sub, 2 Up, 3 Average,
+  4 Paeth). Supported: bit depth 8, color types 0 (gray), 2 (RGB),
+  3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced. Unfiltering
+  is vectorized where the recurrence allows (None/Sub/Up); Average and
+  Paeth depend on BOTH the left and up neighbors and are inherently
+  sequential, so those rows fall back to a per-pixel loop — our own
+  encoder always emits filter 0, so self-produced files decode with
+  zero per-pixel Python.
 
 Decoded images are ``uint8`` HxWx3 RGB arrays; audio is an
 (n_frames, channels) array. Encoders emit canonical minimal files, so
@@ -30,6 +43,7 @@ pin.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -202,18 +216,172 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced; stdlib zlib for deflate + CRC-32)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: color type → samples per pixel in the filtered scanline
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(data: bytes):
+    """Yield (type, body) for each chunk, validating length and CRC-32
+    (computed over type+body, per spec)."""
+    i = len(_PNG_SIG)
+    while i + 12 <= len(data):
+        (size,) = struct.unpack_from(">I", data, i)
+        ctype = data[i + 4 : i + 8]
+        body = data[i + 8 : i + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"png: truncated chunk {ctype!r}")
+        (crc,) = struct.unpack_from(">I", data, i + 8 + size)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"png: CRC mismatch in chunk {ctype!r}")
+        yield ctype, body
+        if ctype == b"IEND":
+            return
+        i += 12 + size
+    raise ValueError("png: missing IEND")
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse per-scanline filtering. ``raw`` is h rows of
+    (1 filter byte + stride filtered bytes); returns (h, stride) uint8.
+
+    Filters 0/1/2 are vectorized (Sub is a running sum along the pixel
+    lane → int cumsum mod 256; Up adds the already-reconstructed prior
+    row). Average/Paeth read the up AND left reconstructed neighbors,
+    a 2-D recurrence with no closed form — per-pixel loop, hit only on
+    foreign files (our encoder emits filter 0)."""
+    rows = raw.reshape(h, stride + 1)
+    filters = rows[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(filters[y])
+        cur = rows[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 1:  # Sub: rec[x] = cur[x] + rec[x-bpp]
+            lanes = cur[: (stride // bpp) * bpp].reshape(-1, bpp)
+            rec = np.cumsum(lanes, axis=0).reshape(-1) % 256
+            if stride % bpp:  # stride is w*bpp, so this never triggers; guard anyway
+                rec = np.concatenate([rec, cur[len(rec):]])
+        elif f == 2:  # Up: rec[x] = cur[x] + prev[x]
+            rec = (cur + prev) % 256
+        elif f in (3, 4):
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (cur[x] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter type {f}")
+        out[y] = rec
+        prev = rec.astype(np.int64)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes → uint8 HxWx3 RGB array (gray expanded, alpha
+    dropped, palette resolved). 8-bit non-interlaced only."""
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("png: bad signature")
+    ihdr = palette = None
+    idat = bytearray()
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"PLTE":
+            palette = body
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("png: missing or malformed IHDR")
+    w, h, depth, ctype_n, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError("png: nonzero compression/filter method")
+    if interlace != 0:
+        raise ValueError("png: Adam7 interlacing not supported")
+    if depth != 8:
+        raise ValueError(f"png: only 8-bit depth supported, got {depth}")
+    spp = _PNG_SAMPLES.get(ctype_n)
+    if spp is None:
+        raise ValueError(f"png: unknown color type {ctype_n}")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"png: bad dimensions {w}x{h}")
+    stride = w * spp
+    try:
+        inflated = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # keep the ValueError error contract
+        raise ValueError(f"png: corrupt deflate stream ({e})") from e
+    raw = np.frombuffer(inflated, dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError(
+            f"png: decompressed size {raw.size} != {h * (stride + 1)}")
+    px = _png_unfilter(raw, h, stride, spp).reshape(h, w, spp)
+    if ctype_n == 2:
+        return px.copy()
+    if ctype_n == 6:
+        return px[:, :, :3].copy()
+    if ctype_n == 0:
+        return np.repeat(px, 3, axis=2)
+    if ctype_n == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    # palette
+    if palette is None or len(palette) % 3:
+        raise ValueError("png: palette image without valid PLTE")
+    lut = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    idx = px[:, :, 0]
+    if int(idx.max(initial=0)) >= lut.shape[0]:
+        raise ValueError("png: palette index out of range")
+    return lut[idx]
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """uint8 HxWx3 RGB array → canonical PNG bytes (color type 2,
+    filter 0 on every scanline, one IDAT, fixed zlib level 6 so output
+    bytes are deterministic for a given zlib build)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"png: want HxWx3, got {img.shape}")
+    h, w = img.shape[:2]
+    scanlines = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    scanlines[:, 1:] = img.reshape(h, w * 3)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(scanlines.tobytes(), 6)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
 
 def sniff_media(data: bytes) -> str | None:
-    """Magic-byte detection: ``ppm`` | ``bmp`` | ``wav`` | None."""
+    """Magic-byte detection: ``ppm`` | ``bmp`` | ``wav`` | ``png`` |
+    None."""
     if data[:2] in (b"P6", b"P3"):
         return "ppm"
     if data[:2] == b"BM":
         return "bmp"
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return "png"
     return None
 
 
@@ -237,6 +405,10 @@ def decode_any(data: bytes) -> dict:
         return {"format": "wav", "width": None, "height": None,
                 "channels": audio.shape[1], "sample_rate": rate,
                 "n_samples": audio.shape[0]}
+    if kind == "png":
+        img = decode_png(data)
+        return {"format": "png", "width": img.shape[1], "height": img.shape[0],
+                "channels": 3, "sample_rate": None, "n_samples": None}
     raise ValueError(f"unrecognized media payload (first bytes {data[:4]!r})")
 
 

@@ -14,11 +14,12 @@ extension the engine carries beyond reference parity. Design:
 * codec calls: ``decode_stub="fake"`` (default) derives deterministic
   pseudo-metadata from the bytes so plumbing is testable end-to-end
   and cross-checkable in DuckDB; ``decode_stub="real"`` decodes actual
-  PPM / BMP / WAV payloads with the pure-Python codecs in
-  functions/codecs.py (no PIL/ffmpeg needed for those formats — the
-  NotImplementedError seam the r4 verdict flagged is closed). Formats
-  beyond those three (JPEG/PNG/MP4…) still require external
-  libraries and fail with a clear ValueError at the decode site.
+  PPM / BMP / WAV / PNG payloads with the pure-Python codecs in
+  functions/codecs.py (no PIL/ffmpeg needed — PNG's compression is
+  stdlib zlib; the NotImplementedError seam the r4 verdict flagged is
+  closed). Formats beyond those four (JPEG/MP4…) still require
+  external libraries and fail with a clear ValueError at the decode
+  site.
 
 Partitioning note for 100 TB of media: binaries dominate row size, so
 ``spark.sql.files.maxPartitionBytes`` (not row counts) sizes the tasks,
@@ -87,22 +88,35 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_media_payload(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    formats: tuple = ("ppm", "bmp", "wav"),
+) -> DataFrame:
     """Deterministically synthesize a REAL media blob per row — a valid
-    PPM, BMP, or WAV file built by the pure-Python encoders
-    (functions/codecs.py), parameterized only by the id:
+    PPM, BMP, PNG, or WAV file built by the pure-Python encoders
+    (functions/codecs.py), parameterized only by the id. The format is
+    ``formats[id % len(formats)]``:
 
-    * ``id % 3 == 0`` → PPM, ``1`` → BMP (width ``id%31+1``, height
-      ``id%17+1``, pixel ``(id+i)%256``);
-    * ``id % 3 == 2`` → WAV PCM16 (channels ``id%2+1``, rate
-      ``8000+(id%5)*1000`` Hz, frames ``id%50+8``).
+    * image formats (ppm/bmp/png): width ``id%31+1``, height
+      ``id%17+1``, pixel value at flat index i ``(id+i)%256``;
+    * ``wav``: PCM16, channels ``id%2+1``, rate ``8000+(id%5)*1000``
+      Hz, frames ``id%50+8``, sample at i ``(id*31+i)%65536-32768``.
 
     The arithmetic is SQL-reproducible, so a decode of these blobs has
     a DuckDB oracle without DuckDB ever parsing a codec — synthesize →
-    real encode → real decode must round-trip to the parameters."""
+    real encode → real decode must round-trip to the parameters. The
+    default ``formats`` keeps the original 3-way split; pass
+    ``("ppm", "bmp", "wav", "png")`` to exercise the compressed
+    (zlib/deflate) codec path too."""
     import numpy as np
 
-    from ..functions.codecs import encode_bmp, encode_ppm, encode_wav
+    from ..functions.codecs import encode_bmp, encode_png, encode_ppm, encode_wav
+
+    encoders = {"ppm": encode_ppm, "bmp": encode_bmp, "png": encode_png}
+    unknown = set(formats) - {"ppm", "bmp", "png", "wav"}
+    if unknown:
+        raise ValueError(f"synth_media_payload: unknown formats {sorted(unknown)}")
 
     schema = T.StructType(
         [T.StructField("doc_id", T.LongType()),
@@ -110,8 +124,8 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def _blob(i: int) -> bytes:
-        kind = i % 3
-        if kind == 2:
+        fmt = formats[i % len(formats)]
+        if fmt == "wav":
             frames, ch = i % 50 + 8, i % 2 + 1
             samples = ((i * 31 + np.arange(frames * ch, dtype=np.int64))
                        % 65536 - 32768).astype("<i2").reshape(frames, ch)
@@ -119,7 +133,7 @@ def synth_media_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         w, h = i % 31 + 1, i % 17 + 1
         img = ((i + np.arange(h * w * 3, dtype=np.int64)) % 256).astype(
             np.uint8).reshape(h, w, 3)
-        return encode_ppm(img) if kind == 0 else encode_bmp(img)
+        return encoders[fmt](img)
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -223,7 +237,15 @@ def extract_media_features(
     this exact seam; batch shape and schema discipline are identical."""
     import numpy as np
 
-    from ..functions.codecs import decode_bmp, decode_ppm, decode_wav, sniff_media
+    from ..functions.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        decode_wav,
+        sniff_media,
+    )
+
+    image_decoders = {"ppm": decode_ppm, "bmp": decode_bmp, "png": decode_png}
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -231,9 +253,8 @@ def extract_media_features(
             for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
                 b = bytes(b)
                 kind = sniff_media(b)
-                if kind in ("ppm", "bmp"):
-                    vals = (decode_ppm(b) if kind == "ppm"
-                            else decode_bmp(b)).astype(np.int64).ravel()
+                if kind in image_decoders:
+                    vals = image_decoders[kind](b).astype(np.int64).ravel()
                 elif kind == "wav":
                     vals = decode_wav(b)[0].astype(np.int64).ravel()
                 else:
@@ -273,12 +294,18 @@ def resize_media(
         if impl == "real":
             from ..functions.codecs import (
                 decode_bmp,
+                decode_png,
                 decode_ppm,
                 encode_bmp,
+                encode_png,
                 encode_ppm,
                 resize_image_nearest,
                 sniff_media,
             )
+
+            image_codecs = {"ppm": (decode_ppm, encode_ppm),
+                            "bmp": (decode_bmp, encode_bmp),
+                            "png": (decode_png, encode_png)}
         for pdf in batches:
             pdf = pdf.copy()
             if impl == "stamp":
@@ -290,14 +317,11 @@ def resize_media(
             for b in pdf[payload_col]:
                 b = bytes(b)
                 kind = sniff_media(b)
-                if kind == "ppm":
+                if kind in image_codecs:
+                    dec, enc = image_codecs[kind]
                     img = resize_image_nearest(
-                        decode_ppm(b), target_width, target_height)
-                    blobs.append(encode_ppm(img))
-                elif kind == "bmp":
-                    img = resize_image_nearest(
-                        decode_bmp(b), target_width, target_height)
-                    blobs.append(encode_bmp(img))
+                        dec(b), target_width, target_height)
+                    blobs.append(enc(img))
                 else:  # audio/unknown: untouched, geometry stays null
                     blobs.append(b)
                     widths.append(None)

@@ -1,8 +1,10 @@
-"""Pure-Python PPM/BMP/WAV codecs (functions/codecs.py): encode→decode
-round-trips, spec'd byte layouts against hand-built golden files,
-malformed-input errors, and nearest-neighbor resize arithmetic."""
+"""Pure-Python PPM/BMP/WAV/PNG codecs (functions/codecs.py):
+encode→decode round-trips, spec'd byte layouts against hand-built
+golden files, malformed-input errors, and nearest-neighbor resize
+arithmetic."""
 
 import struct
+import zlib
 
 import numpy as np
 import pytest
@@ -10,9 +12,11 @@ import pytest
 from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
     decode_any,
     decode_bmp,
+    decode_png,
     decode_ppm,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_ppm,
     encode_wav,
     resize_image_nearest,
@@ -139,6 +143,136 @@ def test_wav_rejects_malformed():
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
+# ---------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype, body):
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def _png_file(w, h, color_type, scanlines, plte=None):
+    """Hand-build a PNG from raw (already filtered) scanline bytes —
+    independent of encode_png, so decoder tests aren't circular."""
+    out = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte)
+    return out + _png_chunk(b"IDAT", zlib.compress(scanlines)) + _png_chunk(
+        b"IEND", b"")
+
+
+def test_png_roundtrip_exact():
+    img = _img(17, 31, seed=5)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_layout():
+    b = encode_png(_img(3, 5))
+    assert b[:8] == _PNG_SIG
+    assert b[12:16] == b"IHDR"
+    w, h, depth, ctype = struct.unpack(">IIBB", b[16:26])
+    assert (w, h, depth, ctype) == (5, 3, 8, 2)  # 8-bit RGB
+    assert b.endswith(_png_chunk(b"IEND", b""))
+
+
+def test_png_all_filter_types_unfilter():
+    """Hand-filter a 5-row image with one row per filter type
+    (0 None, 1 Sub, 2 Up, 3 Average, 4 Paeth) and check the decoder
+    reconstructs the original pixels — covers both the vectorized and
+    the sequential unfilter paths."""
+    img = _img(5, 4, seed=9)
+    bpp, stride = 3, 4 * 3
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int64)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        rec = img[y].reshape(-1).astype(np.int64)
+        filt = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = rec[x - bpp] if x >= bpp else 0
+            c = prev[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            filt[x] = (rec[x] - pred) % 256
+        lines += bytes([f]) + bytes(filt.astype(np.uint8))
+        prev = rec
+    assert np.array_equal(decode_png(_png_file(4, 5, 2, bytes(lines))), img)
+
+
+def test_png_color_types_normalize_to_rgb():
+    g = (np.arange(21) % 256).astype(np.uint8).reshape(3, 7)
+    scan = b"".join(b"\x00" + bytes(g[y]) for y in range(3))
+    assert np.array_equal(decode_png(_png_file(7, 3, 0, scan)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+
+    rgba = _img(2, 3, seed=1).repeat(2, axis=2)[:, :, :4]
+    scan = b"".join(b"\x00" + bytes(rgba[y].reshape(-1)) for y in range(2))
+    assert np.array_equal(decode_png(_png_file(3, 2, 6, scan)), rgba[:, :, :3])
+
+    ga = _img(2, 3, seed=2)[:, :, :2]
+    scan = b"".join(b"\x00" + bytes(ga[y].reshape(-1)) for y in range(2))
+    assert np.array_equal(decode_png(_png_file(3, 2, 4, scan)),
+                          np.repeat(ga[:, :, :1], 3, axis=2))
+
+    plte = bytes(range(12))  # 4 palette entries
+    idx = (np.arange(15) % 4).astype(np.uint8).reshape(3, 5)
+    scan = b"".join(b"\x00" + bytes(idx[y]) for y in range(3))
+    lut = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    assert np.array_equal(decode_png(_png_file(5, 3, 3, scan, plte)), lut[idx])
+
+
+def test_png_rejects_malformed():
+    img = _img(2, 2)
+    good = encode_png(img)
+
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip an IHDR byte; chunk CRC no longer matches
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad_crc))
+
+    interlaced = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 14)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="interlac"):
+        decode_png(interlaced)
+
+    deep = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_png(deep)
+
+    corrupt_idat = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + _png_chunk(
+        b"IDAT", b"\x12\x34notdeflate") + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="deflate"):
+        decode_png(corrupt_idat)
+
+    short = _png_file(4, 4, 2, b"\x00" + b"\x01" * 12)  # 1 row for a 4-row image
+    with pytest.raises(ValueError, match="decompressed size"):
+        decode_png(short)
+
+    oor = _png_file(2, 1, 3, b"\x00\x07\x00", plte=bytes(range(9)))  # idx 7 > 2
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(oor)
+
+    with pytest.raises(ValueError, match="missing IEND"):
+        decode_png(good[:-12])
+
+
 # ---------------------------------------------------------------- dispatch
 
 
@@ -146,7 +280,12 @@ def test_sniff_and_decode_any():
     assert sniff_media(encode_ppm(_img(1, 1))) == "ppm"
     assert sniff_media(encode_bmp(_img(1, 1))) == "bmp"
     assert sniff_media(encode_wav(np.zeros((1, 1), "<i2"), 8000)) == "wav"
-    assert sniff_media(b"\x89PNG") is None
+    assert sniff_media(encode_png(_img(1, 1))) == "png"
+    assert sniff_media(b"\x89PNG") is None  # truncated signature
+
+    m = decode_any(encode_png(_img(4, 7)))
+    assert (m["format"], m["width"], m["height"], m["channels"]) == ("png", 7, 4, 3)
+    assert m["sample_rate"] is None
 
     m = decode_any(encode_ppm(_img(4, 7)))
     assert (m["format"], m["width"], m["height"], m["channels"]) == ("ppm", 7, 4, 3)
@@ -196,6 +335,7 @@ def test_prop_ppm_bmp_roundtrip(h, w, seed):
         np.uint8).reshape(h, w, 3)
     assert np.array_equal(decode_ppm(encode_ppm(img)), img)
     assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+    assert np.array_equal(decode_png(encode_png(img)), img)
 
 
 @pytestmark_hyp
@@ -232,8 +372,21 @@ def test_prop_decoders_never_crash_unstructured(data):
     """Arbitrary bytes either decode or raise ValueError — never an
     unhandled IndexError/struct.error from header parsing (malformed
     blobs at 100 TB are routine, and mapInPandas would kill the task)."""
-    for fn in (decode_ppm, decode_bmp, decode_wav, decode_any):
+    for fn in (decode_ppm, decode_bmp, decode_wav, decode_png, decode_any):
         try:
             fn(data)
         except ValueError:
             pass
+
+
+@pytestmark_hyp
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=120))
+def test_prop_png_decoder_never_crashes_after_signature(data):
+    """Adversarial PNG: a valid signature followed by arbitrary bytes
+    must decode or raise ValueError — never zlib.error, struct.error,
+    or IndexError (these would kill the mapInPandas task)."""
+    try:
+        decode_png(b"\x89PNG\r\n\x1a\n" + data)
+    except ValueError:
+        pass

@@ -188,3 +188,50 @@ def test_media_pipeline_plan_has_zero_exchange(spark, media):
                resize_media(media, 8, 6, impl="real")):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, plan
+
+
+def test_png_format_mix_end_to_end(spark):
+    """formats=('ppm','bmp','wav','png'): the compressed codec joins
+    the mix — real decode recovers the synthesis parameters, feature
+    extraction sees the exact zlib-roundtripped pixel values, and real
+    resize re-encodes PNG as PNG."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_png,
+        sniff_media,
+    )
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    ids = [3, 7, 11, 31, 47, 103]  # all ≡ 3 (mod 4) → every payload is png
+    df = synth_media_payload(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long"),
+        formats=("ppm", "bmp", "wav", "png"))
+
+    blobs = {r["doc_id"]: bytes(r["payload"]) for r in df.collect()}
+    assert all(sniff_media(b) == "png" for b in blobs.values())
+
+    for r in decode_media(df, decode_stub="real").collect():
+        i = r["doc_id"]
+        assert (r["format"], r["width"], r["height"], r["channels"]) == (
+            "png", i % 31 + 1, i % 17 + 1, 3)
+
+    for r in extract_media_features(df).collect():
+        i = r["doc_id"]
+        vals = decode_png(blobs[i]).astype(np.int64).ravel()
+        expect = (i + np.arange(vals.size)) % 256
+        assert np.array_equal(vals, expect)  # zlib roundtrip is exact
+        assert (r["n_values"], r["value_sum"]) == (vals.size, int(expect.sum()))
+
+    for r in resize_media(df, 8, 6, impl="real").collect():
+        blob = bytes(r["payload"])
+        assert sniff_media(blob) == "png"  # re-encoded in original format
+        assert decode_png(blob).shape == (6, 8, 3)
+
+
+def test_synth_rejects_unknown_format(spark):
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="unknown formats"):
+        synth_media_payload(ids, formats=("ppm", "gif"))
