@@ -1336,6 +1336,54 @@ GROUP BY doc_id, format
 """
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path: synthesize a valid Y4M (YUV4MPEG2) container
+    per doc_id with encode_y4m, then decode the actual stream/FRAME
+    headers and planar payload back and keep every 2nd frame with
+    exact integer luma stats (operators/multimodal.py
+    extract_video_frames). The oracle recomputes the synthesis
+    arithmetic with nested generate_series — every sampled frame's
+    every BYTE must round-trip through the container format."""
+    from .operators.multimodal import extract_video_frames, synth_video_payload
+
+    return extract_video_frames(
+        synth_video_payload(_t(spark, sf_dir, "documents")), every_n=2)
+
+
+#: luma at (doc_id, frame f, flat pixel j) = (doc_id + f*131 + j) % 256;
+#: frames doc_id%7+2, width 2*(doc_id%8+1), height 2*(doc_id%5+1)
+SQL_VIDEO_FRAMES = """
+WITH params AS (
+  SELECT doc_id,
+         doc_id % 7 + 2 AS n_frames,
+         2 * (doc_id % 8 + 1) AS w,
+         2 * (doc_id % 5 + 1) AS h
+  FROM documents),
+frames AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, CAST(n_frames - 1 AS bigint))) AS f
+  FROM params),
+sampled AS (SELECT * FROM frames WHERE f % 2 = 0),
+px AS (
+  SELECT doc_id, f, w, h,
+         unnest(generate_series(0, CAST(w * h - 1 AS bigint))) AS j
+  FROM sampled),
+vals AS (
+  SELECT doc_id, f, w, h, (doc_id + f * 131 + j) % 256 AS v
+  FROM px)
+SELECT doc_id,
+       CAST(f AS int) AS frame_idx,
+       CAST(w AS int) AS width,
+       CAST(h AS int) AS height,
+       CAST(count(*) AS bigint) AS n_pixels,
+       CAST(sum(v) AS bigint) AS luma_sum,
+       CAST(min(v) AS int) AS luma_min,
+       CAST(max(v) AS int) AS luma_max
+FROM vals
+GROUP BY doc_id, f, w, h
+"""
+
+
 SQL_MM_FRAMES = """
 WITH offs AS (
   SELECT doc_id, text,
@@ -1833,6 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_feature_stats": q_multimodal_feature_stats,
         "multimodal_png_decode": q_multimodal_png_decode,
         "multimodal_png_features": q_multimodal_png_features,
+        "video_frame_stats": q_video_frame_stats,
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "token_counts": q_token_counts,
@@ -1887,6 +1936,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_feature_stats": SQL_MM_FEATURES,
         "multimodal_png_decode": SQL_MM_PNG_DECODE,
         "multimodal_png_features": SQL_MM_PNG_FEATURES,
+        "video_frame_stats": SQL_VIDEO_FRAMES,
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -21,6 +21,14 @@ Format notes (public specs):
 * **WAV** — RIFF container: ``fmt `` chunk (PCM=1 or IEEE float=3,
   channels, sample rate, bits/sample) + ``data`` chunk; interleaved
   frames; unknown chunks are skipped by declared size (word-aligned).
+* **Y4M** — YUV4MPEG2, the uncompressed video container ffmpeg pipes:
+  ascii stream header ``YUV4MPEG2`` + space-separated tagged params
+  (``W<width> H<height> F<num>:<den> I<interlace> A<aspect>
+  C<colorspace>``) terminated by ``\\n``; each frame is ``FRAME``
+  (+ optional params) ``\\n`` followed by raw planar YUV. Supported
+  colorspaces: ``C444`` (3 full planes), ``C420``/``C420jpeg``/
+  ``C420mpeg2``/``C420paldv`` (U/V at half resolution, even dims
+  required), ``Cmono`` (luma only).
 * **PNG** — the one COMPRESSED format here, feasible without an image
   library because its compression is stdlib ``zlib``: 8-byte
   signature, CRC-checked chunks (IHDR geometry/color-type, optional
@@ -216,6 +224,101 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2 — ffmpeg's uncompressed planar video pipe format)
+# ---------------------------------------------------------------------------
+
+_Y4M_MAGIC = b"YUV4MPEG2"
+#: colorspace → (u/v plane size as a fraction of w*h expressed as
+#: (num, den), number of chroma planes)
+_Y4M_CHROMA = {"444": (1, 1), "420": (1, 4), "420jpeg": (1, 4),
+               "420mpeg2": (1, 4), "420paldv": (1, 4), "mono": (0, 1)}
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, dict]:
+    """Y4M bytes → ((n_frames, h, w) uint8 LUMA array, params dict
+    ``{width, height, fps_num, fps_den, colorspace, n_frames}``).
+    Chroma planes are validated for size and skipped — frame analytics
+    here operate on luma; a full-YUV consumer reads the same layout."""
+    if data[: len(_Y4M_MAGIC)] != _Y4M_MAGIC:
+        raise ValueError("y4m: bad magic")
+    nl = data.find(b"\n", len(_Y4M_MAGIC))
+    if nl < 0:
+        raise ValueError("y4m: unterminated stream header")
+    w = h = None
+    fps_num, fps_den, cspace = 30, 1, "420"
+    for tok in data[len(_Y4M_MAGIC):nl].split():
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                fps_num, fps_den = (int(x) for x in val.split(b":"))
+            elif tag == b"C":
+                cspace = val.decode("ascii")
+            # I (interlace), A (aspect), X (comment): validated as
+            # well-formed tokens by the split, otherwise ignored
+        except (ValueError, UnicodeDecodeError) as e:
+            raise ValueError(f"y4m: malformed header token {tok!r}") from e
+    if w is None or h is None or w <= 0 or h <= 0:
+        raise ValueError("y4m: missing or bad W/H in stream header")
+    if fps_den <= 0 or fps_num <= 0:
+        raise ValueError("y4m: bad frame rate")
+    chroma = _Y4M_CHROMA.get(cspace)
+    if chroma is None:
+        raise ValueError(f"y4m: unsupported colorspace C{cspace}")
+    (cn, cd) = chroma
+    if cn and cd == 4 and (w % 2 or h % 2):
+        raise ValueError(f"y4m: C{cspace} requires even dimensions, got {w}x{h}")
+    luma_size = w * h
+    chroma_size = 0 if cn == 0 else 2 * (w * h * cn // cd)
+    frame_size = luma_size + chroma_size
+    frames = []
+    i = nl + 1
+    while i < len(data):
+        fnl = data.find(b"\n", i)
+        if fnl < 0 or data[i : i + 5] != b"FRAME":
+            raise ValueError("y4m: malformed FRAME marker")
+        body = data[fnl + 1 : fnl + 1 + frame_size]
+        if len(body) != frame_size:
+            raise ValueError("y4m: truncated frame payload")
+        frames.append(np.frombuffer(body, dtype=np.uint8,
+                                    count=luma_size).reshape(h, w))
+        i = fnl + 1 + frame_size
+    luma = (np.stack(frames) if frames
+            else np.zeros((0, h, w), dtype=np.uint8))
+    return luma, {"width": w, "height": h, "fps_num": fps_num,
+                  "fps_den": fps_den, "colorspace": cspace,
+                  "n_frames": len(frames)}
+
+
+def encode_y4m(luma: np.ndarray, fps_num: int = 30, fps_den: int = 1,
+               colorspace: str = "mono") -> bytes:
+    """(n_frames, h, w) uint8 luma → canonical Y4M bytes. ``mono``
+    writes luma only; ``444``/``420`` fill chroma planes with the
+    neutral value 128 (gray — real color rides in a fuller encoder)."""
+    luma = np.asarray(luma, dtype=np.uint8)
+    if luma.ndim != 3:
+        raise ValueError(f"y4m: want (n, h, w) luma, got {luma.shape}")
+    chroma = _Y4M_CHROMA.get(colorspace)
+    if chroma is None:
+        raise ValueError(f"y4m: unsupported colorspace C{colorspace}")
+    n, h, w = luma.shape
+    if h <= 0 or w <= 0:
+        raise ValueError(f"y4m: bad dimensions {w}x{h}")
+    cn, cd = chroma
+    if cn and cd == 4 and (w % 2 or h % 2):
+        raise ValueError(f"y4m: C{colorspace} requires even dimensions")
+    pad = b"" if cn == 0 else b"\x80" * (2 * (w * h * cn // cd))
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C%s\n"
+                    % (w, h, fps_num, fps_den, colorspace.encode("ascii")))
+    for f in range(n):
+        out += b"FRAME\n" + luma[f].tobytes() + pad
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
 # PNG (8-bit, non-interlaced; stdlib zlib for deflate + CRC-32)
 # ---------------------------------------------------------------------------
 
@@ -382,6 +485,8 @@ def sniff_media(data: bytes) -> str | None:
         return "wav"
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return "png"
+    if data[: len(_Y4M_MAGIC)] == _Y4M_MAGIC:
+        return "y4m"
     return None
 
 
@@ -409,6 +514,15 @@ def decode_any(data: bytes) -> dict:
         img = decode_png(data)
         return {"format": "png", "width": img.shape[1], "height": img.shape[0],
                 "channels": 3, "sample_rate": None, "n_samples": None}
+    if kind == "y4m":
+        _, params = decode_y4m(data)
+        # video reuses the generic slots: sample_rate = integer fps,
+        # n_samples = frame count, channels = plane count
+        return {"format": "y4m", "width": params["width"],
+                "height": params["height"],
+                "channels": 1 if params["colorspace"] == "mono" else 3,
+                "sample_rate": params["fps_num"] // params["fps_den"],
+                "n_samples": params["n_frames"]}
     raise ValueError(f"unrecognized media payload (first bytes {data[:4]!r})")
 
 

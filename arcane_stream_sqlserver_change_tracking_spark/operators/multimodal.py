@@ -146,6 +146,101 @@ def synth_media_payload(
     return df.select(id_col).mapInPandas(_synth, schema)
 
 
+def synth_video_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL video blob per row — a valid
+    Y4M (YUV4MPEG2) mono stream built by encode_y4m
+    (functions/codecs.py), parameterized only by the id:
+
+    * frames ``id%7+2``, width ``2*(id%8+1)``, height ``2*(id%5+1)``,
+      fps ``24+id%6``;
+    * luma at (frame f, flat pixel j): ``(id + f*131 + j) % 256``.
+
+    Same oracle trick as synth_media_payload: the arithmetic is
+    SQL-reproducible, so decoded frame statistics have a DuckDB oracle
+    without DuckDB parsing the container."""
+    import numpy as np
+
+    from ..functions.codecs import encode_y4m
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.LongType()),
+         T.StructField("payload", T.BinaryType())]
+    )
+
+    def _blob(i: int) -> bytes:
+        n, w, h = i % 7 + 2, 2 * (i % 8 + 1), 2 * (i % 5 + 1)
+        f = np.arange(n, dtype=np.int64)[:, None]
+        j = np.arange(h * w, dtype=np.int64)[None, :]
+        luma = ((i + f * 131 + j) % 256).astype(np.uint8).reshape(n, h, w)
+        return encode_y4m(luma, fps_num=24 + i % 6, colorspace="mono")
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"doc_id": ids.to_numpy(),
+                 "payload": [_blob(int(i)) for i in ids]}
+            )
+
+    return df.select(id_col).mapInPandas(_synth, schema)
+
+
+#: extract_video_frames output — one row per SAMPLED frame
+FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("luma_sum", T.LongType()),
+        T.StructField("luma_min", T.IntegerType()),
+        T.StructField("luma_max", T.IntegerType()),
+    ]
+)
+
+
+def extract_video_frames(
+    df: DataFrame,
+    every_n: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL video frame sampling: decode each Y4M container
+    (functions/codecs.py decode_y4m — actual stream/FRAME headers and
+    planar payload bytes, not byte-offset slices), keep every
+    ``every_n``-th frame, and emit exact integer luma statistics per
+    sampled frame. The 1-to-many explode happens inside mapInPandas in
+    the scan stage — zero shuffle, the same 100 TB shape as
+    sample_frames; a real embedding extractor replaces the stats at
+    this seam. Compressed video (H.264/MP4) still needs ffmpeg and
+    fails at the sniff with a clear ValueError."""
+    if every_n <= 0:
+        raise ValueError(f"extract_video_frames: every_n must be ≥1, got {every_n}")
+    import numpy as np
+
+    from ..functions.codecs import decode_y4m, sniff_media
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, b in zip(pdf[id_col].astype("int64"), pdf[payload_col]):
+                b = bytes(b)
+                if sniff_media(b) != "y4m":
+                    raise ValueError(f"doc {i}: not a Y4M video payload")
+                luma, params = decode_y4m(b)
+                w, h = params["width"], params["height"]
+                for f in range(0, params["n_frames"], every_n):
+                    vals = luma[f].astype(np.int64)
+                    rows.append((int(i), f, w, h, vals.size, int(vals.sum()),
+                                 int(vals.min()), int(vals.max())))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "width",
+                                              "height", "n_pixels", "luma_sum",
+                                              "luma_min", "luma_max"])
+
+    return df.select(id_col, payload_col).mapInPandas(_frames, FRAME_STATS_SCHEMA)
+
+
 def _fake_decode(blobs: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for an image decode: metadata derived
     purely from the bytes (n_bytes, sha256, pseudo width/height) —

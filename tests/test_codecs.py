@@ -143,6 +143,71 @@ def test_wav_rejects_malformed():
         decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
 
 
+# ---------------------------------------------------------------- Y4M
+
+
+def test_y4m_roundtrip_exact():
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    luma = (np.arange(3 * 4 * 6) % 256).astype(np.uint8).reshape(3, 4, 6)
+    for cs in ("mono", "444", "420"):
+        out, p = decode_y4m(encode_y4m(luma, fps_num=25, colorspace=cs))
+        assert np.array_equal(out, luma)
+        assert (p["width"], p["height"], p["n_frames"], p["fps_num"],
+                p["colorspace"]) == (6, 4, 3, 25, cs)
+
+
+def test_y4m_header_layout_and_foreign_tokens():
+    """Decoder handles the full ffmpeg-style header (interlace, aspect,
+    rational frame rate, X comments) and golden hand-built bytes —
+    independent of encode_y4m."""
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    b = encode_y4m(np.zeros((1, 2, 2), np.uint8), fps_num=30)
+    assert b.startswith(b"YUV4MPEG2 W2 H2 F30:1 Ip A1:1 Cmono\n")
+    assert b.endswith(b"FRAME\n" + bytes(4))
+
+    hand = (b"YUV4MPEG2 W4 H2 F30000:1001 It A4:3 C420jpeg XYSCSS=420JPEG\n"
+            + b"FRAME\n" + bytes(range(8)) + b"\x80" * 4
+            + b"FRAME Xfoo\n" + bytes(range(8, 16)) + b"\x80" * 4)
+    luma, p = decode_y4m(hand)
+    assert p == {"width": 4, "height": 2, "fps_num": 30000, "fps_den": 1001,
+                 "colorspace": "420jpeg", "n_frames": 2}
+    assert np.array_equal(luma.reshape(-1), np.arange(16, dtype=np.uint8))
+
+
+def test_y4m_rejects_malformed():
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    cases = [
+        (b"NOTY4M", "bad magic"),
+        (b"YUV4MPEG2 W4 H2 Cmono", "unterminated"),
+        (b"YUV4MPEG2 Cmono\n", "missing or bad W/H"),
+        (b"YUV4MPEG2 Wx H2\n", "malformed header token"),
+        (b"YUV4MPEG2 W4 H2 F0:1 Cmono\n", "bad frame rate"),
+        (b"YUV4MPEG2 W4 H2 Crgb\n", "unsupported colorspace"),
+        (b"YUV4MPEG2 W3 H3 C420\n", "even dimensions"),
+        (b"YUV4MPEG2 W4 H2 Cmono\nFRAME\n" + bytes(3), "truncated frame"),
+        (b"YUV4MPEG2 W4 H2 Cmono\nGARBAGE\n" + bytes(8), "malformed FRAME"),
+    ]
+    for raw, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            decode_y4m(raw)
+    with pytest.raises(ValueError, match="even dimensions"):
+        encode_y4m(np.zeros((1, 3, 3), np.uint8), colorspace="420")
+    with pytest.raises(ValueError, match="want \\(n, h, w\\)"):
+        encode_y4m(np.zeros((3, 3), np.uint8))
+
+
 # ---------------------------------------------------------------- PNG
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

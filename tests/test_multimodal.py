@@ -235,3 +235,49 @@ def test_synth_rejects_unknown_format(spark):
     ids = spark.createDataFrame([(1,)], "doc_id long")
     with pytest.raises(ValueError, match="unknown formats"):
         synth_media_payload(ids, formats=("ppm", "gif"))
+
+
+def test_video_frame_extraction_real_container(spark):
+    """synth_video_payload → extract_video_frames: actual Y4M stream
+    headers and planar payload decoded back; every 2nd frame sampled,
+    exact luma stats, zero Exchange in the plan."""
+    import numpy as np
+
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_video_frames,
+        synth_video_payload,
+    )
+
+    ids = [0, 1, 6, 13, 39, 103]
+    vids = synth_video_payload(
+        spark.createDataFrame([(i,) for i in ids], "doc_id long"))
+    out = extract_video_frames(vids, every_n=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i in ids:
+        n, w, h = i % 7 + 2, 2 * (i % 8 + 1), 2 * (i % 5 + 1)
+        got = sorted(by_doc[i], key=lambda r: r["frame_idx"])
+        assert [r["frame_idx"] for r in got] == list(range(0, n, 2))
+        for r in got:
+            f = r["frame_idx"]
+            vals = (i + f * 131 + np.arange(w * h, dtype=np.int64)) % 256
+            assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+            assert r["luma_sum"] == int(vals.sum())
+            assert (r["luma_min"], r["luma_max"]) == (int(vals.min()),
+                                                      int(vals.max()))
+
+
+def test_video_frame_extraction_rejects_non_video(spark, media):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.multimodal import (
+        extract_video_frames,
+    )
+
+    with pytest.raises(Exception, match="not a Y4M video payload"):
+        extract_video_frames(media).collect()
+    with pytest.raises(ValueError, match="every_n"):
+        extract_video_frames(media, every_n=0)
