@@ -445,6 +445,39 @@ def test_prop_decoders_never_crash_unstructured(data):
 
 
 @pytestmark_hyp
+@settings(max_examples=40, deadline=None)
+@given(n=st.integers(0, 6), h=st.integers(1, 12), w=st.integers(1, 12),
+       fps=st.sampled_from([24, 25, 30, 60]), seed=st.integers(0, 10_000))
+def test_prop_y4m_roundtrip(n, h, w, fps, seed):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_y4m,
+        encode_y4m,
+    )
+
+    luma = ((seed + np.arange(n * h * w)) * 69069 % 256).astype(
+        np.uint8).reshape(n, h, w)
+    for cs in ("mono", "444") + (("420",) if h % 2 == 0 and w % 2 == 0 else ()):
+        out, p = decode_y4m(encode_y4m(luma, fps_num=fps, colorspace=cs))
+        assert np.array_equal(out, luma)
+        assert (p["n_frames"], p["fps_num"], p["width"], p["height"]) == (
+            n, fps, w, h)
+
+
+@pytestmark_hyp
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=120))
+def test_prop_y4m_decoder_never_crashes_after_magic(data):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_y4m,
+    )
+
+    try:
+        decode_y4m(b"YUV4MPEG2" + data)
+    except ValueError:
+        pass
+
+
+@pytestmark_hyp
 @settings(max_examples=30, deadline=None)
 @given(data=st.binary(min_size=0, max_size=120))
 def test_prop_png_decoder_never_crashes_after_signature(data):
