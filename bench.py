@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     # scan-stage stratified mixing filter.
     "repetition_stats",
     "corpus_mix",
+    # r5: the real-codec media paths (PNG deflate roundtrip + Y4M frame
+    # sampling) — zero-Exchange mapInPandas, both <1s warm at sf0.1.
+    "multimodal_png_features",
+    "video_frame_stats",
 ]
 
 TRANSCRIPT_PAYLOAD = T.StructType(
