@@ -1089,6 +1089,47 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup): IVF-cluster the embeddings, drop any vector
+    cosine-similar (>= 0.3) to a lower-id vector in its cluster, return
+    the survivors. Candidates are bounded by cluster size (equi-join on
+    centroid_id) — the within-cluster twin of embedding_near_dup's
+    all-pairs ground truth."""
+    from .operators.similarity import semantic_dedup
+
+    return semantic_dedup(_t(spark, sf_dir, "embeddings"),
+                          threshold=0.3, centroid_stride=50)
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH v AS (SELECT vec_id, embedding::double[] AS vec FROM embeddings),
+c AS (SELECT vec_id AS centroid_id, vec AS cvec FROM v WHERE vec_id % 50 = 0),
+ascore AS (
+  SELECT v.vec_id, centroid_id,
+         round(({_DOT.format(a='vec', b='cvec')})
+               / (({_NORM.format(a='vec')}) * ({_NORM.format(a='cvec')})), 9) AS sim
+  FROM v, c),
+assign AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id ORDER BY sim DESC, centroid_id ASC) AS rn
+    FROM ascore) WHERE rn = 1),
+member AS (
+  SELECT a.vec_id, a.centroid_id, v.vec
+  FROM assign a JOIN v ON v.vec_id = a.vec_id),
+dropped AS (
+  SELECT DISTINCT y.vec_id
+  FROM member x JOIN member y
+    ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+  WHERE round(({_DOT.format(a='x.vec', b='y.vec')})
+              / (({_NORM.format(a='x.vec')}) * ({_NORM.format(a='y.vec')})), 9)
+        >= 0.3)
+SELECT vec_id, centroid_id FROM assign
+WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.3)
 
@@ -1873,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_cosine": q_embedding_topk,
         "ivf_assign": q_ivf_assign,
         "ivf_topk_ann": q_ivf_topk,
+        "semantic_dedup": q_semantic_dedup,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "multimodal_decode": q_multimodal_decode,
@@ -1928,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk_cosine": SQL_TOPK,
         "ivf_assign": SQL_IVF_ASSIGN,
         "ivf_topk_ann": SQL_IVF_TOPK,
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,
         "embedding_near_dup": SQL_NEAR_DUP,
         "embedding_near_dup_lsh": _sql_near_dup_lsh(),
         "multimodal_decode": SQL_MM_DECODE,

@@ -394,3 +394,49 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "sim")
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.8,
+    centroid_stride: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids_mode: str = "stride",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    remove near-duplicates WITHIN each cluster only. Returns the
+    surviving (id, centroid_id) rows.
+
+    Pipeline: :func:`ivf_assign` buckets every vector by nearest
+    centroid; within a bucket, all pairs with cosine >= ``threshold``
+    are computed via a self-equi-join on ``centroid_id``; a vector is
+    dropped when it is near-duplicate to a LOWER-id vector in its
+    cluster (the greedy keep-first rule — deterministic, order-free,
+    and exactly expressible in SQL for the oracle).
+
+    The 100 TB shape: candidate generation is an equi-join keyed by
+    centroid_id — pair work is bounded by the largest cluster, never
+    corpus × corpus (k clusters shrink it ~k-fold); the drop set comes
+    back as one anti-join on id. Cluster sizes are operator-tunable via
+    ``centroid_stride``; skewed clusters are visible in the assign
+    output and can be split by raising k (or switching
+    ``centroids_mode="kmeans"`` for tighter, more even buckets)."""
+    assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col,
+                        centroids_mode)
+    vecs = with_double_vec(embeddings, vec_col).select(id_col, "vec")
+    member = assign.join(vecs, id_col)
+    a = member.select(F.col(id_col).alias("a"), F.col("centroid_id"),
+                      F.col("vec").alias("avec"))
+    b = member.select(F.col(id_col).alias("b"), F.col("centroid_id"),
+                      F.col("vec").alias("bvec"))
+    dropped = (
+        a.join(b, "centroid_id")
+        .filter(F.col("a") < F.col("b"))
+        .filter(F.round(cosine_sim(F.col("avec"), F.col("bvec")), 9)
+                >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assign.join(dropped, id_col, "left_anti").select(id_col, "centroid_id")

@@ -201,3 +201,43 @@ def test_lsh_bands_reject_indivisible_planes(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         lsh_signature_bands(df, num_planes=50, num_bands=16, dim=2)
+
+
+def test_semantic_dedup_semantics(spark, sf_dir):
+    """SemDeDup invariants: (1) every surviving vector has NO
+    lower-id near-dup within its cluster; (2) every dropped vector HAS
+    one; (3) per-cluster minimum ids always survive; (4) with an
+    impossible threshold nothing is dropped."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        cosine_sim,
+        ivf_assign,
+        semantic_dedup,
+        with_double_vec,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assign = ivf_assign(emb, centroid_stride=50)
+    kept = semantic_dedup(emb, threshold=0.3, centroid_stride=50)
+    kept_ids = {r["vec_id"] for r in kept.collect()}
+    all_ids = {r["vec_id"] for r in assign.collect()}
+    assert set(r["vec_id"] for r in kept.collect()) <= all_ids
+
+    # recompute within-cluster near-dup pairs directly
+    member = assign.join(with_double_vec(emb).select("vec_id", "vec"), "vec_id")
+    a = member.selectExpr("vec_id as a", "centroid_id", "vec as avec")
+    b = member.selectExpr("vec_id as b", "centroid_id", "vec as bvec")
+    pairs = (a.join(b, "centroid_id").filter("a < b")
+             .withColumn("sim", F.round(cosine_sim(F.col("avec"),
+                                                   F.col("bvec")), 9))
+             .filter("sim >= 0.3").select("a", "b").collect())
+    has_lower_dup = {p["b"] for p in pairs}
+    assert kept_ids == all_ids - has_lower_dup
+    assert len(kept_ids) < len(all_ids)  # the threshold actually bites
+
+    # per-cluster min id always survives
+    for r in assign.groupBy("centroid_id").agg(
+            F.min("vec_id").alias("m")).collect():
+        assert r["m"] in kept_ids
+
+    # threshold > 1 → cosine can never reach it → identity
+    assert semantic_dedup(emb, threshold=1.1).count() == len(all_ids)
