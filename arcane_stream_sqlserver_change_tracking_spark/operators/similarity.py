@@ -403,6 +403,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids_mode: str = "stride",
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then
@@ -422,9 +423,16 @@ def semantic_dedup(
     back as one anti-join on id. Cluster sizes are operator-tunable via
     ``centroid_stride``; skewed clusters are visible in the assign
     output and can be split by raising k (or switching
-    ``centroids_mode="kmeans"`` for tighter, more even buckets)."""
-    assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col,
-                        centroids_mode)
+    ``centroids_mode="kmeans"`` for tighter, more even buckets).
+
+    ``assign`` takes a PRE-COMPUTED (id, centroid_id) table — same
+    contract as :func:`ivf_topk`. Without it the lazy DAG recomputes
+    the assignment subtree three times (survivor output + both pair
+    sides); at scale materialize the assignment once (e.g. a LakeTable
+    bucketed by centroid_id) and pass it in."""
+    if assign is None:
+        assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col,
+                            centroids_mode)
     vecs = with_double_vec(embeddings, vec_col).select(id_col, "vec")
     member = assign.join(vecs, id_col)
     a = member.select(F.col(id_col).alias("a"), F.col("centroid_id"),

@@ -241,3 +241,23 @@ def test_semantic_dedup_semantics(spark, sf_dir):
 
     # threshold > 1 → cosine can never reach it → identity
     assert semantic_dedup(emb, threshold=1.1).count() == len(all_ids)
+
+
+def test_semantic_dedup_accepts_precomputed_assignment(spark, sf_dir):
+    """Materialized (id, centroid_id) in, identical survivors out —
+    the ivf_topk contract, reused so a lake-bucketed assignment is
+    computed once, not three times per dedup run."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        ivf_assign,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pre = ivf_assign(emb, centroid_stride=50).cache()
+    try:
+        got = semantic_dedup(emb, threshold=0.3, assign=pre)
+        ref = semantic_dedup(emb, threshold=0.3, centroid_stride=50)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect()))
+    finally:
+        pre.unpersist()
