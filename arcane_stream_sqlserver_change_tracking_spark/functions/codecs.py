@@ -197,6 +197,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         i += 8 + size + (size & 1)
     if fmt is None or payload is None:
         raise ValueError("wav: missing fmt or data chunk")
+    if len(fmt) < 16:  # PCM fmt body is ≥16 bytes; truncation ends here
+        raise ValueError(f"wav: truncated fmt chunk ({len(fmt)} bytes)")
     audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
     dtype = _WAV_DTYPES.get((audio_fmt, bits))
     if dtype is None:
@@ -334,9 +336,9 @@ def _png_chunks(data: bytes):
     while i + 12 <= len(data):
         (size,) = struct.unpack_from(">I", data, i)
         ctype = data[i + 4 : i + 8]
-        body = data[i + 8 : i + 8 + size]
-        if len(body) != size:
+        if i + 12 + size > len(data):  # body OR trailing CRC truncated
             raise ValueError(f"png: truncated chunk {ctype!r}")
+        body = data[i + 8 : i + 8 + size]
         (crc,) = struct.unpack_from(">I", data, i + 8 + size)
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"png: CRC mismatch in chunk {ctype!r}")

@@ -136,6 +136,16 @@ def test_wav_float32_and_8bit():
     assert rate == 48000 and np.allclose(audio, f32)
 
 
+def test_wav_truncated_fmt_chunk_is_valueerror():
+    """Mutation-fuzz regression: a fmt chunk shorter than the 16-byte
+    PCM body must raise ValueError, not struct.error."""
+    raw = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 10) + bytes(10)
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="truncated fmt"):
+        decode_wav(raw)
+
+
 def test_wav_rejects_malformed():
     with pytest.raises(ValueError, match="magic"):
         decode_wav(b"RIFX0000WAVE")
@@ -336,6 +346,11 @@ def test_png_rejects_malformed():
 
     with pytest.raises(ValueError, match="missing IEND"):
         decode_png(good[:-12])
+
+    # mutation-fuzz regression: body present but trailing CRC truncated
+    # must be ValueError, not struct.error (codecs.py _png_chunks)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_png(good[:23])  # cuts inside IHDR's CRC field
 
 
 # ---------------------------------------------------------------- dispatch
