@@ -459,6 +459,51 @@ def test_prop_decoders_never_crash_unstructured(data):
             pass
 
 
+def test_mutation_fuzz_decoders_only_raise_valueerror():
+    """Seeded structured-corruption fuzz (the harness that caught the
+    PNG-CRC and WAV-fmt escapes): flip/truncate/extend/splice valid
+    files of every format, assert each decoder either decodes or
+    raises ValueError — never struct.error/zlib.error/IndexError."""
+    import random
+
+    from arcane_stream_sqlserver_change_tracking_spark.functions.codecs import (
+        decode_png,
+        decode_y4m,
+        encode_png,
+        encode_y4m,
+    )
+
+    rng = random.Random(1234)
+    img = _img(9, 13, seed=4)
+    valids = [
+        encode_ppm(img), encode_bmp(img), encode_png(img),
+        encode_wav((np.arange(80) % 65536 - 32768).astype("<i2").reshape(40, 2),
+                   16000),
+        encode_y4m((np.arange(192) % 256).astype(np.uint8).reshape(4, 6, 8),
+                   colorspace="444"),
+    ]
+    decoders = (decode_ppm, decode_bmp, decode_wav, decode_png, decode_y4m,
+                decode_any)
+    for trial in range(600):
+        base = bytearray(rng.choice(valids))
+        mode = trial % 4
+        if mode == 0:
+            for _ in range(rng.randint(1, 8)):
+                base[rng.randrange(len(base))] = rng.randrange(256)
+        elif mode == 1:
+            base = base[: rng.randrange(len(base))]
+        elif mode == 2:
+            base += bytes(rng.randrange(256) for _ in range(rng.randint(1, 64)))
+        else:
+            i, j = sorted(rng.randrange(len(base)) for _ in range(2))
+            base = base[:i] + base[j:]
+        for fn in decoders:
+            try:
+                fn(bytes(base))
+            except ValueError:
+                pass  # the one allowed failure mode
+
+
 @pytestmark_hyp
 @settings(max_examples=40, deadline=None)
 @given(n=st.integers(0, 6), h=st.integers(1, 12), w=st.integers(1, 12),
