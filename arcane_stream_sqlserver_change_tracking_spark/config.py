@@ -108,6 +108,43 @@ def _get(spec: Any, path: str, default: Any = ...) -> Any:
     return node
 
 
+def _as_obj(value: Any, path: str) -> dict:
+    """Block-or-error: None/absent → {}, non-object → SpecError. Keeps
+    a junk value at a BLOCK position (e.g. a string where
+    maintenanceSettings should be) from escaping as AttributeError."""
+    if value is None:
+        return {}
+    if not isinstance(value, dict):
+        raise SpecError(f"{path}: expected an object, got {value!r}")
+    return value
+
+
+def _as_int(value: Any, path: str) -> int:
+    if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+        raise SpecError(f"{path}: expected an integer, got {value!r}")
+    try:
+        return int(value)
+    except ValueError:
+        raise SpecError(f"{path}: expected an integer, got {value!r}") from None
+
+
+def _as_float(value: Any, path: str) -> float:
+    if isinstance(value, bool) or not isinstance(value, (int, float, str)):
+        raise SpecError(f"{path}: expected a number, got {value!r}")
+    try:
+        return float(value)
+    except ValueError:
+        raise SpecError(f"{path}: expected a number, got {value!r}") from None
+
+
+def _as_str_list(value: Any, path: str) -> list[str]:
+    if value is None:
+        return []
+    if not isinstance(value, list) or not all(isinstance(x, str) for x in value):
+        raise SpecError(f"{path}: expected a list of strings, got {value!r}")
+    return value
+
+
 def _variant(node: Any, path: str, allowed: dict[str, str],
              default: str) -> str:
     """The reference encodes enums as single-key objects
@@ -158,7 +195,8 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
     if not isinstance(spec, dict):
         raise SpecError("spec: expected a JSON object")
 
-    merge = _get(spec, "sink.mergeServiceClient", {}) or {}
+    merge = _as_obj(_get(spec, "sink.mergeServiceClient", {}),
+                    "sink.mergeServiceClient")
     retry_mode = _variant(
         merge.get("queryRetryMode"),
         "sink.mergeServiceClient.queryRetryMode",
@@ -166,19 +204,26 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         default="never",
     )
     retry_base = merge.get("queryRetryBaseDuration", "1 second")
-    retry_contents = merge.get("queryRetryOnMessageContents", [])
-    if not isinstance(retry_contents, list):
-        raise SpecError("sink.mergeServiceClient.queryRetryOnMessageContents: expected a list")
+    retry_contents = _as_str_list(
+        merge.get("queryRetryOnMessageContents", []),
+        "sink.mergeServiceClient.queryRetryOnMessageContents")
 
-    sorted_by = _get(spec, "sink.targetTableProperties.sortedBy", []) or []
-    bloom = _get(spec, "sink.targetTableProperties.parquetBloomFilterColumns", []) or []
-    if not isinstance(sorted_by, list):
-        raise SpecError("sink.targetTableProperties.sortedBy: expected a list")
+    sorted_by = _as_str_list(
+        _get(spec, "sink.targetTableProperties.sortedBy", []),
+        "sink.targetTableProperties.sortedBy")
+    bloom = _as_str_list(
+        _get(spec, "sink.targetTableProperties.parquetBloomFilterColumns", []),
+        "sink.targetTableProperties.parquetBloomFilterColumns")
 
-    maint = _get(spec, "sink.maintenanceSettings", {}) or {}
-    optimize = maint.get("targetOptimizeSettings", {}) or {}
-    orphans = maint.get("targetOrphanFilesExpirationSettings", {}) or {}
-    analyze = maint.get("targetAnalyzeSettings", {}) or {}
+    maint = _as_obj(_get(spec, "sink.maintenanceSettings", {}),
+                    "sink.maintenanceSettings")
+    optimize = _as_obj(maint.get("targetOptimizeSettings"),
+                       "sink.maintenanceSettings.targetOptimizeSettings")
+    orphans = _as_obj(
+        maint.get("targetOrphanFilesExpirationSettings"),
+        "sink.maintenanceSettings.targetOrphanFilesExpirationSettings")
+    analyze = _as_obj(maint.get("targetAnalyzeSettings"),
+                      "sink.maintenanceSettings.targetAnalyzeSettings")
 
     rule_node = _get(spec, "source.fieldSelectionRule.rule", {"all": {}})
     rule = _variant(
@@ -188,9 +233,13 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
     )
     rule_fields: tuple[str, ...] = ()
     if isinstance(rule_node, dict) and rule_node:
-        body = rule_node.get(next(iter(rule_node))) or {}
-        rule_fields = tuple(body.get("fields", []) if isinstance(body, dict) else ())
-    essential = _get(spec, "source.fieldSelectionRule.essentialFields", []) or []
+        body = _as_obj(rule_node.get(next(iter(rule_node))),
+                       f"source.fieldSelectionRule.rule.{next(iter(rule_node))}")
+        rule_fields = tuple(_as_str_list(
+            body.get("fields", []), "source.fieldSelectionRule.rule fields"))
+    essential = _as_str_list(
+        _get(spec, "source.fieldSelectionRule.essentialFields", []),
+        "source.fieldSelectionRule.essentialFields")
     ff_kwargs: dict[str, Any] = {"rule": rule, "fields": rule_fields}
     if essential:
         ff_kwargs["essential"] = tuple(essential)
@@ -237,19 +286,25 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         max_events_per_batch=chunk,
         shaper_impl=shaper_impl,
         shaper_params=shaper_params,
-        max_rows_per_file=int(_get(spec, "staging.table.maxRowsPerFile", 1_000_000)),
+        max_rows_per_file=_as_int(
+            _get(spec, "staging.table.maxRowsPerFile", 1_000_000),
+            "staging.table.maxRowsPerFile"),
         # the lake stores NORMALIZED names (normalize_column_names runs on
         # every batch), so sortedBy must be normalized too — mirroring the
         # parquetBloomFilterColumns handling — or sortWithinPartitions
         # fails unresolved on any special-character source column
         sort_within=tuple(normalize_column_name(c) for c in sorted_by),
-        retry_max_attempts=int(merge.get("queryRetryMaxAttempts", 3)),
+        retry_max_attempts=_as_int(merge.get("queryRetryMaxAttempts", 3),
+                                   "sink.mergeServiceClient.queryRetryMaxAttempts"),
         retry_base_seconds=parse_duration_seconds(
             retry_base, "sink.mergeServiceClient.queryRetryBaseDuration"),
-        retry_scale_factor=float(merge.get("queryRetryScaleFactor", 2.0)),
+        retry_scale_factor=_as_float(merge.get("queryRetryScaleFactor", 2.0),
+                                     "sink.mergeServiceClient.queryRetryScaleFactor"),
         retry_on_message_contents=tuple(retry_contents),
         retry_mode=retry_mode,
-        maintenance_interval_batches=int(optimize.get("batchThreshold", 60)),
+        maintenance_interval_batches=_as_int(
+            optimize.get("batchThreshold", 60),
+            "sink.maintenanceSettings.targetOptimizeSettings.batchThreshold"),
         compact_file_threshold_bytes=parse_size_bytes(
             optimize.get("fileSizeThreshold", "512MB"),
             "sink.maintenanceSettings.targetOptimizeSettings.fileSizeThreshold"),
@@ -259,8 +314,10 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         field_filter=FieldFilter(**ff_kwargs),
     )
 
-    cc = _get(spec, "streamMode.changeCapture", {}) or {}
-    variance = float(cc.get("changeCaptureJitterVariance", 0.0))
+    cc = _as_obj(_get(spec, "streamMode.changeCapture", {}),
+                 "streamMode.changeCapture")
+    variance = _as_float(cc.get("changeCaptureJitterVariance", 0.0),
+                         "streamMode.changeCapture.changeCaptureJitterVariance")
     interval = parse_duration_seconds(
         cc.get("changeCaptureInterval", "15 second"),
         "streamMode.changeCapture.changeCaptureInterval")
@@ -281,9 +338,15 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
     # be included" — so a PRESENT targetAnalyzeSettings block without the
     # key defaults to [] (all columns), not None (manifest counts only)
     included = analyze.get("includedColumns", [] if analyze else None)
-    analyze_included = list(included) if included is not None else None
+    analyze_included = (
+        _as_str_list(
+            included,
+            "sink.maintenanceSettings.targetAnalyzeSettings.includedColumns")
+        if included is not None else None)
     analyze_interval = (
-        int(analyze["batchThreshold"]) if "batchThreshold" in analyze else None
+        _as_int(analyze["batchThreshold"],
+                "sink.maintenanceSettings.targetAnalyzeSettings.batchThreshold")
+        if "batchThreshold" in analyze else None
     )
     # ANALYZE settings ride the engine options (the cadence runs inside
     # run_incremental); SpecConfig mirrors them for launcher modes that
@@ -299,13 +362,15 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
         source=SourceSpec(
             schema_name=str(_get(spec, "source.configuration.schemaName", "dbo")),
             table_name=_get(spec, "source.configuration.tableName", None),
-            fetch_size=int(_get(spec, "source.configuration.fetchSize", 256)),
+            fetch_size=_as_int(_get(spec, "source.configuration.fetchSize", 256),
+                               "source.configuration.fetchSize"),
         ),
         stream_id=stream_id,
         backfill=backfill,
         backfill_behavior=behavior.lower(),
         trigger_seconds=interval,
-        jitter_seed=int(cc.get("changeCaptureJitterSeed", 0)),
+        jitter_seed=_as_int(cc.get("changeCaptureJitterSeed", 0),
+                            "streamMode.changeCapture.changeCaptureJitterSeed"),
         jitter_variance_seconds=interval * variance,
         metric_tags={str(k): str(v) for k, v in tags.items()},
         analyze_included_columns=analyze_included,

@@ -427,3 +427,97 @@ def test_cli_replay_memory_bound_spec_params_e2e(spark, tmp_path, monkeypatch):
     with open(os.path.join(root, "metrics.jsonl")) as f:
         batches = [json.loads(l) for l in f if '"batch_applied"' in l]
     assert len(batches) > 1
+
+
+def test_spec_error_contract_under_mutation():
+    """Seeded structured-corruption fuzz of spec_to_config: junk
+    values, deleted keys, and junk siblings at EVERY path of a fully
+    populated spec must either map or raise SpecError naming a CRD
+    path — never AttributeError/TypeError/raw ValueError (the CLI
+    surfaces SpecError messages to the operator; anything else is a
+    stack trace)."""
+    import copy
+    import random
+
+    full = {
+        "sink": {"targetTableFullName": "cat.sch.tbl",
+                 "targetTableProperties": {
+                     "sortedBy": ["a b"],
+                     "parquetBloomFilterColumns": ["x"]},
+                 "mergeServiceClient": {
+                     "queryRetryMaxAttempts": 3,
+                     "queryRetryBaseDuration": "5s",
+                     "queryRetryScaleFactor": 2.0,
+                     "queryRetryMode": {"always": {}},
+                     "queryRetryOnMessageContents": ["deadlock"]},
+                 "maintenanceSettings": {
+                     "targetOptimizeSettings": {
+                         "batchThreshold": 10, "fileSizeThreshold": "64MB"},
+                     "targetOrphanFilesExpirationSettings": {
+                         "retentionThreshold": "1h"},
+                     "targetAnalyzeSettings": {
+                         "batchThreshold": 10, "includedColumns": ["a"]}}},
+        "source": {"configuration": {"schemaName": "dbo", "tableName": "t",
+                                     "fetchSize": 128},
+                   "fieldSelectionRule": {
+                       "rule": {"include": {"fields": ["a", "b"]}},
+                       "essentialFields": ["a"]}},
+        "throughput": {"advisedChunkSize": 1000,
+                       "shaperImpl": {"memoryBound": {"chunkCostMax": 6}}},
+        "streamMode": {"changeCapture": {"changeCaptureInterval": "15s",
+                                         "changeCaptureJitterSeed": 0,
+                                         "changeCaptureJitterVariance": 0.1},
+                       "backfill": {"backfillBehavior": "Merge"}},
+        "staging": {"table": {"maxRowsPerFile": 100000}},
+        "observability": {"metricTags": {"env": "prod"}},
+    }
+    spec_to_config(full, "s1")  # the unmutated spec maps
+
+    def paths(d, pre=()):
+        out = []
+        for k, v in d.items():
+            out.append(pre + (k,))
+            if isinstance(v, dict):
+                out += paths(v, pre + (k,))
+        return out
+
+    rng = random.Random(99)
+    junk = [None, 0, -1, 1.5, "", "xyz", [], [1], {}, {"a": 1}, True, "9q"]
+    for trial in range(1500):
+        spec = copy.deepcopy(full)
+        p = rng.choice(paths(full))
+        node = spec
+        for k in p[:-1]:
+            node = node[k]
+        mode = trial % 3
+        if mode == 0:
+            node[p[-1]] = rng.choice(junk)
+        elif mode == 1:
+            del node[p[-1]]
+        else:
+            node[str(rng.randrange(100))] = rng.choice(junk)
+        try:
+            spec_to_config(spec, "s1")
+        except SpecError:
+            pass  # the contract: CRD-path-named error, nothing rawer
+
+
+def test_spec_block_and_leaf_type_errors_name_crd_paths():
+    base = {"sink": {"targetTableFullName": "c.s.t"}}
+    cases = [
+        ({**base, "sink": {**base["sink"], "maintenanceSettings": "junk"}},
+         "maintenanceSettings"),
+        ({**base, "staging": {"table": {"maxRowsPerFile": {}}}},
+         "staging.table.maxRowsPerFile"),
+        ({**base, "streamMode": {"changeCapture":
+                                 {"changeCaptureJitterVariance": "2s"}}},
+         "changeCaptureJitterVariance"),
+        ({**base, "sink": {**base["sink"],
+                           "targetTableProperties": {"sortedBy": [1]}}},
+         "sortedBy"),
+        ({**base, "source": {"fieldSelectionRule": {"essentialFields": "a"}}},
+         "essentialFields"),
+    ]
+    for spec, frag in cases:
+        with pytest.raises(SpecError, match=frag):
+            spec_to_config(spec, "s1")
