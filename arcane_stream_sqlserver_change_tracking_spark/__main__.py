@@ -112,16 +112,27 @@ def main(argv: list[str] | None = None) -> int:
 
     from .session import build_session
 
+    # spec problems are operator input errors: exit 2 with the CRD path
+    # (SpecError message) or the IO/JSON failure, never a stack trace
+    from .config import SpecError
+
     cfg = None
-    if args.spec_env:
-        from .config import load_spec_from_env
+    try:
+        if args.spec_env:
+            from .config import load_spec_from_env
 
-        cfg = load_spec_from_env()
-    elif args.spec:
-        from .config import spec_to_config
+            cfg = load_spec_from_env()
+        elif args.spec:
+            from .config import spec_to_config
 
-        with open(args.spec) as f:
-            cfg = spec_to_config(json.load(f))
+            with open(args.spec) as f:
+                cfg = spec_to_config(json.load(f))
+    except SpecError as e:
+        ap.error(f"invalid spec: {e}")
+    except OSError as e:
+        ap.error(f"cannot read spec file {args.spec!r}: {e}")
+    except json.JSONDecodeError as e:
+        ap.error(f"spec file {args.spec!r} is not valid JSON: {e}")
 
     # launcher-owned session: spark-submit's master/parallelism/local
     # dirs are untouched (standalone=False); engine confs + the hadoop

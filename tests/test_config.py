@@ -521,3 +521,28 @@ def test_spec_block_and_leaf_type_errors_name_crd_paths():
     for spec, frag in cases:
         with pytest.raises(SpecError, match=frag):
             spec_to_config(spec, "s1")
+
+
+def test_cli_spec_failures_exit_cleanly(tmp_path, capsys):
+    """A missing file, invalid JSON, or a CRD violation through --spec
+    must exit 2 with an operator-readable message (argparse error),
+    never a stack trace."""
+    import arcane_stream_sqlserver_change_tracking_spark.__main__ as cli
+
+    bad_json = tmp_path / "bad.json"
+    bad_json.write_text("{bad json")
+    bad_val = tmp_path / "badval.json"
+    bad_val.write_text(json.dumps(
+        {"throughput": {"advisedChunkSize": -5},
+         "sink": {"targetTableFullName": "a.b.c"}}))
+    cases = [
+        (str(tmp_path / "nope.json"), "cannot read spec file"),
+        (str(bad_json), "not valid JSON"),
+        (str(bad_val), "invalid spec: throughput.advisedChunkSize"),
+    ]
+    for spec_path, frag in cases:
+        with pytest.raises(SystemExit) as exc:
+            cli.main(["--mode", "replay", "--table", str(tmp_path / "t"),
+                      "--events", "10", "--spec", spec_path])
+        assert exc.value.code == 2
+        assert frag in capsys.readouterr().err
