@@ -404,6 +404,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroids_mode: str = "stride",
     assign: DataFrame | None = None,
+    keep: str = "lowest_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then
@@ -413,9 +414,18 @@ def semantic_dedup(
     Pipeline: :func:`ivf_assign` buckets every vector by nearest
     centroid; within a bucket, all pairs with cosine >= ``threshold``
     are computed via a self-equi-join on ``centroid_id``; a vector is
-    dropped when it is near-duplicate to a LOWER-id vector in its
-    cluster (the greedy keep-first rule — deterministic, order-free,
-    and exactly expressible in SQL for the oracle).
+    dropped when it is near-duplicate to a HIGHER-priority vector in
+    its cluster (greedy keep-first — deterministic, order-free, and
+    exactly expressible in SQL for the oracle). ``keep`` sets the
+    priority:
+
+    * ``"lowest_id"`` (default, the oracled path): smaller id wins —
+      the cheapest deterministic rule;
+    * ``"min_centroid_sim"``: the paper's rule — LOWER cosine to the
+      cluster centroid wins (ties by id), so each duplicate group keeps
+      its most "edge" example, preserving diversity. Costs one extra
+      broadcast join against the (k-row) centroid table to score
+      members.
 
     The 100 TB shape: candidate generation is an equi-join keyed by
     centroid_id — pair work is bounded by the largest cluster, never
@@ -430,18 +440,38 @@ def semantic_dedup(
     the assignment subtree three times (survivor output + both pair
     sides); at scale materialize the assignment once (e.g. a LakeTable
     bucketed by centroid_id) and pass it in."""
+    if keep not in ("lowest_id", "min_centroid_sim"):
+        raise ValueError(f"semantic_dedup: unknown keep rule {keep!r}")
     if assign is None:
         assign = ivf_assign(embeddings, centroid_stride, id_col, vec_col,
                             centroids_mode)
     vecs = with_double_vec(embeddings, vec_col).select(id_col, "vec")
     member = assign.join(vecs, id_col)
+    if keep == "min_centroid_sim":
+        if centroids_mode != "stride":
+            raise ValueError(
+                "semantic_dedup: keep='min_centroid_sim' scores members "
+                "against the stride centroid table; for kmeans pass the "
+                "materialized assignment and use lowest_id, or extend "
+                "with an explicit centroids param")
+        centroids = vecs.filter(F.col(id_col) % centroid_stride == 0).select(
+            F.col(id_col).alias("centroid_id"), F.col("vec").alias("cvec"))
+        member = member.join(F.broadcast(centroids), "centroid_id").select(
+            id_col, "centroid_id", "vec",
+            F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9).alias("csim"))
+        # priority = (csim asc, id asc): a struct compare gives the
+        # lexicographic order directly in the pair filter
+        prio = lambda side: F.struct(F.col(f"{side}csim"), F.col(side))  # noqa: E731
+    else:
+        member = member.withColumn("csim", F.lit(0.0))
+        prio = lambda side: F.col(side)  # noqa: E731
     a = member.select(F.col(id_col).alias("a"), F.col("centroid_id"),
-                      F.col("vec").alias("avec"))
+                      F.col("vec").alias("avec"), F.col("csim").alias("acsim"))
     b = member.select(F.col(id_col).alias("b"), F.col("centroid_id"),
-                      F.col("vec").alias("bvec"))
+                      F.col("vec").alias("bvec"), F.col("csim").alias("bcsim"))
     dropped = (
         a.join(b, "centroid_id")
-        .filter(F.col("a") < F.col("b"))
+        .filter(prio("a") < prio("b"))
         .filter(F.round(cosine_sim(F.col("avec"), F.col("bvec")), 9)
                 >= threshold)
         .select(F.col("b").alias(id_col))

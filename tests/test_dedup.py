@@ -261,3 +261,51 @@ def test_semantic_dedup_accepts_precomputed_assignment(spark, sf_dir):
             map(tuple, ref.collect()))
     finally:
         pre.unpersist()
+
+
+def test_semantic_dedup_min_centroid_sim_keep_rule(spark, sf_dir):
+    """keep='min_centroid_sim' (the paper's diversity rule): a vector
+    is dropped iff some cluster-mate with LOWER (centroid_sim, id) is
+    near-duplicate to it. Verified against a direct recomputation."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators.similarity import (
+        cosine_sim,
+        ivf_assign,
+        semantic_dedup,
+        with_double_vec,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kept = {r["vec_id"] for r in semantic_dedup(
+        emb, threshold=0.3, centroid_stride=50,
+        keep="min_centroid_sim").collect()}
+
+    assign = ivf_assign(emb, centroid_stride=50)
+    vecs = with_double_vec(emb).select("vec_id", "vec")
+    cent = vecs.filter("vec_id % 50 = 0").selectExpr(
+        "vec_id as centroid_id", "vec as cvec")
+    member = (assign.join(vecs, "vec_id").join(cent, "centroid_id")
+              .select("vec_id", "centroid_id", "vec",
+                      F.round(cosine_sim(F.col("vec"), F.col("cvec")), 9)
+                      .alias("csim")))
+    rows = member.collect()
+    prio = {r["vec_id"]: (r["csim"], r["vec_id"]) for r in rows}
+    a = member.selectExpr("vec_id as a", "centroid_id", "vec as avec")
+    b = member.selectExpr("vec_id as b", "centroid_id", "vec as bvec")
+    pairs = (a.join(b, "centroid_id").filter("a < b")
+             .withColumn("sim", F.round(cosine_sim(F.col("avec"),
+                                                   F.col("bvec")), 9))
+             .filter("sim >= 0.3").select("a", "b").collect())
+    dropped = set()
+    for p in pairs:  # either direction: the higher-priority one drops the other
+        x, y = p["a"], p["b"]
+        dropped.add(y if prio[x] < prio[y] else x)
+    assert kept == {r["vec_id"] for r in rows} - dropped
+
+    # keep rules agree on dup-free input, differ in WHICH dup survives
+    ids_all = semantic_dedup(emb, threshold=1.1, keep="min_centroid_sim")
+    assert ids_all.count() == len(rows)
+
+    with pytest.raises(ValueError, match="unknown keep rule"):
+        semantic_dedup(emb, keep="random")
+    with pytest.raises(ValueError, match="min_centroid_sim"):
+        semantic_dedup(emb, keep="min_centroid_sim", centroids_mode="kmeans")
