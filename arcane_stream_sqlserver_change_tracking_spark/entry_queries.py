@@ -1486,6 +1486,44 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (operators/semistructured.py): the
+    events feed's JSON ``props`` payload — carried opaque by the CDC
+    path, exactly as the reference forwards it — is parsed with a
+    pinned schema (Catalyst JsonToStructs, zero Exchange until the
+    aggregate), flattened, and aggregated per event_type with exact
+    integer stats. count(k) < count(*) would reveal malformed
+    documents (PERMISSIVE null-struct parsing), so the oracle also
+    checks the parse success accounting."""
+    from .operators.semistructured import flatten_struct, parse_json_column
+
+    ev = _t(spark, sf_dir, "events")
+    flat = flatten_struct(parse_json_column(ev, "props", "k long"),
+                          "props_parsed", prefix="")
+    return flat.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_parsed"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+WITH parsed AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS bigint) AS k
+  FROM events)
+SELECT event_type,
+       CAST(count(*) AS bigint) AS n_events,
+       CAST(count(k) AS bigint) AS n_parsed,
+       CAST(sum(k) AS bigint) AS sum_k,
+       CAST(min(k) AS bigint) AS min_k,
+       CAST(max(k) AS bigint) AS max_k
+FROM parsed GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
@@ -1926,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_stats": q_video_frame_stats,
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
+        "json_props_stats": q_json_props_stats,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1982,6 +2021,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frame_stats": SQL_VIDEO_FRAMES,
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
+        "json_props_stats": SQL_JSON_PROPS,
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
