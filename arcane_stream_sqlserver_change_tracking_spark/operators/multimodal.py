@@ -57,7 +57,8 @@ DECODED_SCHEMA = T.StructType(
 )
 
 #: decode_stub="real" output: uniform media metadata from the actual
-#: PPM/BMP/WAV headers (image fields null for audio and vice versa)
+#: PPM/BMP/PNG/WAV/Y4M headers (image fields null for audio and vice
+#: versa; video maps sample_rate=integer fps, n_samples=frame count)
 REAL_DECODED_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -266,7 +267,7 @@ def decode_media(
     Batch shape: Arrow record batches of (id, payload); output batches
     follow ``DECODED_SCHEMA`` (``"fake"`` — byte-derived pseudo-
     metadata, DuckDB-reproducible) or ``REAL_DECODED_SCHEMA``
-    (``"real"`` — actual PPM/BMP/WAV header decode through
+    (``"real"`` — actual PPM/BMP/PNG/WAV/Y4M decode through
     functions/codecs.py). A richer codec (PIL/ffmpeg) plugs into the
     same seam without changing the Spark-side contract.
     """
