@@ -300,3 +300,61 @@ def test_token_commonness_approx_doc_freq_drops_one_exchange(spark):
         assert a[i]["mean_token_tf"] == e[i]["mean_token_tf"]
         ref = e[i]["mean_token_df"]
         assert abs(a[i]["mean_token_df"] - ref) <= max(2.0, 0.05 * ref)
+
+
+def test_content_hash_key_turns_upsert_into_incremental_dedup(spark, tmp_path):
+    """Composition: the CDC lake's keyed upsert IS incremental exact
+    dedup when the merge key is the content hash — each new batch
+    anti-joins existing hashes (bucket-pruned), duplicate content
+    upserts in place, and the table never grows past the distinct-text
+    count. This is how a 100 TB corpus ingests continuously without a
+    periodic full-corpus dedup job."""
+    from pyspark.sql import types as T
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+        CdcEngine,
+        EngineOptions,
+    )
+
+    payload_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("content_hash", T.StringType()),
+    ])
+
+    def log(rows):
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, sys_change_version long, "
+                  "sys_change_operation string")
+        return df.withColumn("content_hash", F.sha2(F.col("text"), 256))
+
+    eng = CdcEngine(
+        spark, LakeTable(spark, str(tmp_path / "corpus")),
+        EngineOptions(key_columns=("content_hash",), num_buckets=8,
+                      max_events_per_batch=1000))
+    eng.bootstrap(payload_schema)
+
+    # batch 1: 100 docs, every text duplicated once → 50 distinct
+    b1 = [(i, f"doc text {i // 2}", i + 1, "I") for i in range(100)]
+    eng.run_incremental(log(b1))
+    assert eng.current_state().count() == 50
+
+    # batch 2: 25 repeats of batch-1 texts + 25 fresh → +25 only
+    b2 = [(100 + j, f"doc text {j}" if j < 25 else f"fresh {j}", 101 + j, "I")
+          for j in range(50)]
+    eng.run_incremental(log(b2))
+    state = eng.current_state()
+    assert state.count() == 75
+
+    # the repeated texts were UPSERTED: their surviving doc_id/version
+    # is the latest ingest, not the original
+    survivors = {r["text"]: (r["doc_id"], r["sys_change_version"])
+                 for r in state.collect()}
+    for j in range(25):
+        assert survivors[f"doc text {j}"] == (100 + j, 101 + j)
+
+    # re-ingesting pure duplicates leaves the count fixed
+    b3 = [(200 + j, f"doc text {j}", 151 + j, "I") for j in range(10)]
+    eng.run_incremental(log(b3))
+    assert eng.current_state().count() == 75
