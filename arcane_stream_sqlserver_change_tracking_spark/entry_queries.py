@@ -1509,6 +1509,32 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic (operators/diagnostics.py skew_report): the
+    top-20 heaviest user_id keys in the events feed with exact integer
+    ppm shares — the evidence for choosing salting / broadcast before
+    keying a shuffle on user_id. One map-side agg + TakeOrdered, no
+    global sort."""
+    from .operators.diagnostics import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), ["user_id"], top_n=20)
+
+
+SQL_SKEW_REPORT = """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS bigint) AS cnt
+  FROM events GROUP BY user_id),
+tot AS (SELECT sum(cnt) AS total FROM counts),
+ranked AS (
+  SELECT user_id, cnt,
+         row_number() OVER (ORDER BY cnt DESC, user_id ASC) AS rank
+  FROM counts)
+SELECT CAST(rank AS int) AS rank, user_id, cnt,
+       CAST(cnt * 1000000 // total AS bigint) AS share_ppm
+FROM ranked, tot WHERE rank <= 20
+"""
+
+
 SQL_JSON_PROPS = """
 WITH parsed AS (
   SELECT event_type,
@@ -1965,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "json_props_stats": q_json_props_stats,
+        "skew_report": q_skew_report,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2022,6 +2049,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "json_props_stats": SQL_JSON_PROPS,
+        "skew_report": SQL_SKEW_REPORT,
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
