@@ -1509,6 +1509,51 @@ def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (operators/quality_gate.py): five declarative
+    expectations over the documents feed evaluated in ONE aggregate
+    pass — including a deliberately failing bound (n_chars >= 100) so
+    the violation accounting itself is oracle-checked, not just the
+    all-green path."""
+    from .operators.quality_gate import expectation_report
+
+    return expectation_report(_t(spark, sf_dir, "documents"), [
+        {"column": "doc_id", "check": "not_null"},
+        {"column": "doc_id", "check": "unique"},
+        {"column": "n_chars", "check": "min", "value": 100},
+        {"column": "lang", "check": "in_set",
+         "values": ["en", "de", "fr", "es", "zh"]},
+        {"column": "source", "check": "not_null"},
+    ])
+
+
+SQL_EXPECTATIONS = """
+WITH v AS (
+  SELECT CAST(count(*) AS bigint) AS n_rows,
+         CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) AS v0,
+         CAST(count(doc_id) - count(DISTINCT doc_id)
+              + greatest(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) - 1,
+                         0) AS bigint) AS v1,
+         CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS bigint) AS v2,
+         CAST(sum(CASE WHEN lang IS NOT NULL
+                        AND lang NOT IN ('en','de','fr','es','zh')
+                       THEN 1 ELSE 0 END) AS bigint) AS v3,
+         CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS bigint) AS v4
+  FROM documents)
+SELECT * FROM (
+  SELECT 0 AS rule_idx, 'doc_id' AS column, 'not_null' AS check,
+         n_rows, v0 AS violations, v0 = 0 AS passed FROM v
+  UNION ALL
+  SELECT 1, 'doc_id', 'unique', n_rows, v1, v1 = 0 FROM v
+  UNION ALL
+  SELECT 2, 'n_chars', 'min', n_rows, v2, v2 = 0 FROM v
+  UNION ALL
+  SELECT 3, 'lang', 'in_set', n_rows, v3, v3 = 0 FROM v
+  UNION ALL
+  SELECT 4, 'source', 'not_null', n_rows, v4, v4 = 0 FROM v)
+"""
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key diagnostic (operators/diagnostics.py skew_report): the
     top-20 heaviest user_id keys in the events feed with exact integer
@@ -1992,6 +2037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_event_counts": q_windowed_event_counts,
         "json_props_stats": q_json_props_stats,
         "skew_report": q_skew_report,
+        "expectation_report": q_expectation_report,
         "token_counts": q_token_counts,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -2050,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "windowed_event_counts": SQL_WINDOWED,
         "json_props_stats": SQL_JSON_PROPS,
         "skew_report": SQL_SKEW_REPORT,
+        "expectation_report": SQL_EXPECTATIONS,
         "token_counts": SQL_TOKEN_COUNTS,
         "lang_id": _sql_lang_id(),
         "quality_score": _sql_quality(),
