@@ -1956,6 +1956,31 @@ WHERE ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000
 """
 
 
+def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-N per-stratum sample (functions/sampling.py
+    stratified_sample_exact): the N lowest-sha256(id) rows per source —
+    exact quota sizes where the rate-based variant gives expected
+    sizes. One Exchange keyed by source for the per-stratum rank."""
+    from .functions.sampling import stratified_sample_exact
+
+    return stratified_sample_exact(
+        _t(spark, sf_dir, "documents"),
+        {"src0": 5, "src1": 10, "src2": 15},
+    ).select("doc_id", "source")
+
+
+SQL_STRATIFIED_EXACT = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source ORDER BY sha256(doc_id::varchar)) AS rn
+  FROM documents)
+SELECT doc_id, source FROM ranked
+WHERE rn <= CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 10
+                        WHEN 'src2' THEN 15 ELSE 0 END
+"""
+
+
 def q_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget data mixing: per-source keep rates
     min(1, budget·weight / source_tokens) derived from ONE map-side-
@@ -2010,6 +2035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
+        "stratified_sample_exact": q_stratified_sample_exact,
         "corpus_mix": q_corpus_mix,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
@@ -2069,6 +2095,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": _sql_chunk_documents(),
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
+        "stratified_sample_exact": SQL_STRATIFIED_EXACT,
         "corpus_mix": SQL_CORPUS_MIX,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition_stats": SQL_REPETITION,

@@ -17,7 +17,7 @@ noise of the requested fractions at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def split_bucket(id_col: Column, buckets: int = 10_000) -> Column:
@@ -98,6 +98,43 @@ def stratified_sample(
     default = F.lit(_floor_bound(default_rate, buckets))
     bound = default if bound is None else bound.otherwise(default)
     return df.filter(bucket < bound)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    counts: dict[str, int],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_count: int = 0,
+) -> DataFrame:
+    """Exact-N per-stratum sample: keep the ``counts[stratum]`` rows
+    whose sha256(id) ranks lowest within the stratum — exact sizes
+    where :func:`stratified_sample` gives expected sizes (eval sets,
+    fixed-size benchmarks, per-source quotas).
+
+    Deterministic and engine-reproducible (the order key is the same
+    sha256 hex both engines compute; ties impossible — ids are unique
+    per stratum). Cost: ONE Exchange keyed by the stratum column for
+    the per-stratum rank — unavoidable for exact counts, which need
+    cross-partition coordination per stratum; at 100 TB prefer the
+    rate-based scan-stage filter unless the count contract is hard.
+    Strata absent from ``counts`` get ``default_count`` (0 = dropped)."""
+    for k, n in counts.items():
+        if n < 0:
+            raise ValueError(f"count for stratum {k!r} must be ≥0, got {n}")
+    order = F.sha2(F.concat_ws("|", F.col(id_col).cast("string")), 256)
+    w = Window.partitionBy(strata_col).orderBy(order)
+    quota: Column | None = None
+    for k, n in counts.items():
+        cond = F.col(strata_col) == F.lit(k)
+        quota = F.when(cond, n) if quota is None else quota.when(cond, n)
+    quota = F.lit(default_count) if quota is None else quota.otherwise(
+        F.lit(default_count))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= quota)
+        .drop("__rn")
+    )
 
 
 def mix_corpus(

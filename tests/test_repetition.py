@@ -192,3 +192,34 @@ def test_pack_sequences_single_bucket_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "hashpartitioning(pack_bucket" in plan
     assert "SinglePartition" not in plan
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.functions.sampling import (
+        stratified_sample_exact,
+    )
+
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    out = stratified_sample_exact(df, {"a": 7, "b": 3}).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], set()).add(r["doc_id"])
+    assert len(by["a"]) == 7 and len(by["b"]) == 3  # EXACT, not expected
+
+    # deterministic: same rows every run, and a is a superset when its
+    # quota grows (hash-rank prefix property — stable eval sets)
+    again = {r["doc_id"] for r in
+             stratified_sample_exact(df, {"a": 7, "b": 3}).collect()}
+    assert again == by["a"] | by["b"]
+    bigger = {r["doc_id"] for r in stratified_sample_exact(
+        df, {"a": 12}).collect() if r["source"] == "a"}
+    assert by["a"] <= bigger and len(bigger) == 12
+
+    # quota above stratum size keeps the whole stratum; unlisted drops
+    assert stratified_sample_exact(df, {"a": 999}).count() == 50
+    # default_count keeps N of every unlisted stratum
+    assert stratified_sample_exact(df, {}, default_count=4).count() == 8
+    with pytest.raises(ValueError, match="must be ≥0"):
+        stratified_sample_exact(df, {"a": -1})
