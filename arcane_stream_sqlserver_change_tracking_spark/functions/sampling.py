@@ -130,9 +130,16 @@ def stratified_sample_exact(
         quota = F.when(cond, n) if quota is None else quota.when(cond, n)
     quota = F.lit(default_count) if quota is None else quota.otherwise(
         F.lit(default_count))
+    # the FOLDABLE max-quota conjunct is the scale guard: Catalyst's
+    # InferWindowGroupLimit only fires on a literal rank bound, and with
+    # it each map task pre-prunes to max_quota rows per stratum BEFORE
+    # the Exchange — without it, a stratum's entire 100 TB rowset lands
+    # in one shuffle partition (plan-pinned in tests)
+    max_quota = max(list(counts.values()) + [default_count])
     return (
         df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= quota)
+        .filter((F.col("__rn") <= F.lit(max_quota))
+                & (F.col("__rn") <= quota))
         .drop("__rn")
     )
 

@@ -223,3 +223,20 @@ def test_stratified_sample_exact_counts_and_determinism(spark):
     assert stratified_sample_exact(df, {}, default_count=4).count() == 8
     with pytest.raises(ValueError, match="must be ≥0"):
         stratified_sample_exact(df, {"a": -1})
+
+
+def test_stratified_sample_exact_plan_pre_prunes_before_shuffle(spark):
+    """100 TB shape pin: the foldable max-quota conjunct must trigger
+    InferWindowGroupLimit so each map task keeps ≤max_quota rows per
+    stratum BEFORE the Exchange — otherwise a stratum's whole rowset
+    lands in one shuffle partition."""
+    from arcane_stream_sqlserver_change_tracking_spark.functions.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.range(10_000).selectExpr(
+        "id as doc_id", "concat('s', id % 4) as source")
+    plan = stratified_sample_exact(df, {"s0": 5, "s1": 10})._jdf\
+        .queryExecution().executedPlan().toString()
+    head, _, tail = plan.partition("Exchange")
+    assert "WindowGroupLimit" in head and "WindowGroupLimit" in tail, plan
