@@ -135,6 +135,17 @@ class EngineOptions:
                                   # memory-pressured executors
     pipeline_batches: bool = True  # overlap batch k+1 staging with
                                    # batch k's commit (run_incremental)
+    expectations: tuple = ()       # data-quality admission control
+                                   # (operators/quality_gate.py rule
+                                   # dicts): evaluated per batch on the
+                                   # PREPARED rows (post-filter/dedup —
+                                   # the gate guards what would LAND);
+                                   # any violation raises
+                                   # ExpectationError BEFORE the write,
+                                   # table + watermark untouched — the
+                                   # same fail-fast philosophy as K4's
+                                   # watermark contract. One extra agg
+                                   # over the cached batch when set.
 
 
 @dataclass
@@ -249,6 +260,10 @@ class CdcEngine:
                 deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
             else:
                 deduped = deduped.persist()
+        if self.opts.expectations:
+            from ..operators.quality_gate import enforce_expectations
+
+            enforce_expectations(deduped, list(self.opts.expectations))
         bucket_stats = (
             deduped.groupBy(_BUCKET)
             .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))

@@ -90,3 +90,45 @@ def test_empty_input_passes_bounds(spark):
     ]).collect()
     assert all(r["violations"] == 0 and r["passed"] for r in rows)
     assert all(r["n_rows"] == 0 for r in rows)
+
+
+def test_engine_expectation_gate_blocks_batch_atomically(spark, tmp_path):
+    """EngineOptions.expectations = per-batch admission control: a
+    violating batch raises BEFORE the write — table rows and watermark
+    unchanged — and a clean batch then applies normally. Same fail-fast
+    philosophy as the watermark contract."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+        CdcEngine,
+        EngineOptions,
+    )
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    eng = CdcEngine(
+        spark, LakeTable(spark, str(tmp_path / "gated")),
+        EngineOptions(key_columns=("doc_id",), num_buckets=4,
+                      expectations=({"column": "text", "check": "not_null"},)))
+    eng.bootstrap(payload)
+
+    def log(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, sys_change_version long, "
+                  "sys_change_operation string")
+
+    eng.run_incremental(log([(1, "ok", 1, "I"), (2, "fine", 2, "I")]))
+    assert eng.current_state().count() == 2
+    wm = eng.current_watermark()
+
+    with pytest.raises(ExpectationError, match="not_null on text"):
+        eng.run_incremental(log([(3, "good", 3, "I"), (4, None, 4, "I")]))
+    assert eng.current_state().count() == 2  # nothing landed
+    assert eng.current_watermark() == wm     # watermark untouched
+
+    eng.run_incremental(log([(3, "good", 5, "I")]))
+    assert eng.current_state().count() == 3
