@@ -1956,6 +1956,35 @@ WHERE ('0x' || substr(sha256(doc_id::varchar), 1, 8))::bigint % 10000
 """
 
 
+def q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet ("datasheets for datasets"): per (source, lang)
+    — docs, exact-distinct texts (the dup-rate signal), characters, and
+    whitespace tokens, all exact integers in ONE map-side-combined
+    aggregate. The rollup a data team publishes next to a training
+    corpus; at 100 TB it is one scan."""
+    d = _t(spark, sf_dir, "documents")
+    from .functions.analysis import ws_token_count
+
+    return d.groupBy("source", "lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).cast("long")
+        .alias("n_distinct_texts"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(ws_token_count(F.col("text"))).cast("long").alias("total_ws_tokens"),
+    )
+
+
+SQL_CORPUS_DATASHEET = r"""
+SELECT source, lang,
+       CAST(count(*) AS bigint) AS n_docs,
+       CAST(count(DISTINCT sha256(text)) AS bigint) AS n_distinct_texts,
+       CAST(sum(length(text)) AS bigint) AS total_chars,
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS bigint)
+         AS total_ws_tokens
+FROM documents GROUP BY source, lang
+"""
+
+
 def q_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-N per-stratum sample (functions/sampling.py
     stratified_sample_exact): the N lowest-sha256(id) rows per source —
@@ -2036,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
         "stratified_sample_exact": q_stratified_sample_exact,
+        "corpus_datasheet": q_corpus_datasheet,
         "corpus_mix": q_corpus_mix,
         "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
@@ -2096,6 +2126,7 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": SQL_TRAIN_VAL_SPLIT,
         "stratified_sample": SQL_STRATIFIED_SAMPLE,
         "stratified_sample_exact": SQL_STRATIFIED_EXACT,
+        "corpus_datasheet": SQL_CORPUS_DATASHEET,
         "corpus_mix": SQL_CORPUS_MIX,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "repetition_stats": SQL_REPETITION,
