@@ -423,14 +423,20 @@ def decode_png(data: bytes) -> np.ndarray:
     if w <= 0 or h <= 0:
         raise ValueError(f"png: bad dimensions {w}x{h}")
     stride = w * spp
+    expected = h * (stride + 1)
     try:
-        inflated = zlib.decompress(bytes(idat))
+        # cap inflation at expected+1: a zip bomb (tiny IDAT inflating
+        # to GBs) stops at the cap instead of exhausting task memory —
+        # anything past `expected` is malformed either way
+        dec = zlib.decompressobj()
+        inflated = dec.decompress(bytes(idat), expected + 1)
     except zlib.error as e:  # keep the ValueError error contract
         raise ValueError(f"png: corrupt deflate stream ({e})") from e
     raw = np.frombuffer(inflated, dtype=np.uint8)
-    if raw.size != h * (stride + 1):
+    if raw.size != expected or dec.unconsumed_tail:
         raise ValueError(
-            f"png: decompressed size {raw.size} != {h * (stride + 1)}")
+            f"png: decompressed size {raw.size} != {expected}"
+            + (" (more data follows)" if dec.unconsumed_tail else ""))
     px = _png_unfilter(raw, h, stride, spp).reshape(h, w, spp)
     if ctype_n == 2:
         return px.copy()

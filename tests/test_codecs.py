@@ -353,6 +353,22 @@ def test_png_rejects_malformed():
         decode_png(good[:23])  # cuts inside IHDR's CRC field
 
 
+def test_png_zip_bomb_rejected_without_inflating(monkeypatch):
+    """A 2x2 header whose IDAT inflates to 100 MB must be rejected at
+    the expected-size cap — decompressobj(max_length) stops after
+    expected+1 bytes, so a zip bomb can't exhaust task memory."""
+    import time
+
+    bomb = _PNG_SIG + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + _png_chunk(
+        b"IDAT", zlib.compress(b"\x00" * 100_000_000, 9)) + _png_chunk(
+        b"IEND", b"")
+    t0 = time.time()
+    with pytest.raises(ValueError, match="decompressed size"):
+        decode_png(bomb)
+    assert time.time() - t0 < 1.0  # rejected at the cap, not after 100 MB
+
+
 # ---------------------------------------------------------------- dispatch
 
 
