@@ -387,6 +387,53 @@ FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
+def q_conversation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turns → training documents (operators/transcripts.py): net-change
+    dedup the transcripts changelog to per-turn final state (the W1
+    path, no engine needed), normalize, then reassemble one 'role:
+    text' document per conversation — the bridge from the
+    CDC-replicated turn table to every document-level corpus operator.
+    One conv-keyed Exchange on top of the dedup's."""
+    from .functions.keys import OPERATION_COL, with_merge_key
+    from .functions.text import normalize_text_expr
+    from .operators.dedup import latest_change_per_key
+    from .operators.transcripts import conversation_docs
+
+    log = transcripts_from_events(_t(spark, sf_dir, "events"))
+    latest = latest_change_per_key(with_merge_key(log, ["conv_id", "turn_idx"]))
+    turns = latest.filter(F.col(OPERATION_COL) != "D").select(
+        "conv_id", "turn_idx", "role",
+        normalize_text_expr(F.col("text")).alias("text"))
+    return conversation_docs(turns)
+
+
+SQL_CONVERSATION_DOCS = """
+WITH log AS (
+  SELECT event_id + 1 AS v,
+         CASE event_type WHEN 'error' THEN 'D'
+                         WHEN 'signup' THEN 'I' ELSE 'U' END AS op,
+         'conv-' || user_id::varchar AS conv_id,
+         CAST(event_id % 40 AS int) AS turn_idx,
+         CASE event_id % 4 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant'
+                           WHEN 2 THEN 'system' ELSE 'tool' END AS role,
+         '  ' || event_type || '  turn' || chr(9) || (event_id % 40)::varchar
+             || '  ' || props || ' ' AS raw_text
+  FROM events),
+ranked AS (
+  SELECT conv_id, turn_idx, role, op,
+         trim(regexp_replace(raw_text, '\\s+', ' ', 'g')) AS text,
+         row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY v DESC) AS rn
+  FROM log),
+turns AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM ranked WHERE rn = 1 AND op <> 'D')
+SELECT conv_id,
+       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text,
+       CAST(count(*) AS bigint) AS n_turns
+FROM turns GROUP BY conv_id
+"""
+
+
 def q_lake_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed produced FROM the replica: replay the first half
     of the changelog (one engine batch), snapshot, replay the rest,
@@ -2051,6 +2098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_batch_stats": q_a1_batch_stats,
         "cdc_engine_e2e": q_cdc_engine_e2e,
         "transcripts_cdc_e2e": q_transcripts_cdc_e2e,
+        "conversation_docs": q_conversation_docs,
         "mssql_changetable_feed": q_mssql_changetable_feed,
         "lake_change_feed": q_lake_change_feed,
         "cdf_cursor_drain": q_cdf_cursor_drain,
@@ -2112,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
         "a1_batch_stats": SQL_A1,
         "cdc_engine_e2e": SQL_E2E,
         "transcripts_cdc_e2e": SQL_TRANSCRIPTS_E2E,
+        "conversation_docs": SQL_CONVERSATION_DOCS,
         "mssql_changetable_feed": SQL_MSSQL_FEED,
         "lake_change_feed": SQL_CHANGE_FEED,
         "cdf_cursor_drain": SQL_CDF_CURSOR,

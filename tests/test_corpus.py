@@ -358,3 +358,28 @@ def test_content_hash_key_turns_upsert_into_incremental_dedup(spark, tmp_path):
     b3 = [(200 + j, f"doc text {j}", 151 + j, "I") for j in range(10)]
     eng.run_incremental(log(b3))
     assert eng.current_state().count() == 75
+
+
+def test_conversation_docs_orders_turns_and_counts(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.transcripts import (
+        conversation_docs,
+    )
+
+    rows = [
+        ("c1", 2, "assistant", "second"),
+        ("c1", 1, "user", "first"),
+        ("c1", 10, "user", "tenth"),   # numeric order, not lexicographic
+        ("c2", 1, "system", "solo"),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r["conv_id"]: r for r in conversation_docs(turns).collect()}
+    assert out["c1"]["text"] == "user: first\nassistant: second\nuser: tenth"
+    assert out["c1"]["n_turns"] == 3
+    assert out["c2"]["text"] == "system: solo" and out["c2"]["n_turns"] == 1
+
+    sep = conversation_docs(turns, sep=" | ").collect()
+    assert all(" | " in r["text"] for r in sep if r["n_turns"] > 1)
+
+    plan = conversation_docs(turns)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan  # one conv-keyed shuffle
