@@ -124,7 +124,7 @@ def _as_int(value: Any, path: str) -> int:
         raise SpecError(f"{path}: expected an integer, got {value!r}")
     try:
         return int(value)
-    except ValueError:
+    except (ValueError, OverflowError):  # json.loads admits Infinity
         raise SpecError(f"{path}: expected an integer, got {value!r}") from None
 
 
@@ -254,6 +254,13 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
     shaper_node = _get(spec, "throughput.shaperImpl", {}) or {}
     if not isinstance(shaper_node, dict):
         raise SpecError("throughput.shaperImpl: expected an object")
+    for k, v in shaper_node.items():
+        if v is not None and not isinstance(v, dict):
+            # a truthy non-object body (YAML artifact like `memoryBound:
+            # true`) must not silently fall back to the static shaper
+            raise SpecError(
+                f"throughput.shaperImpl.{k}: expected an object or null, "
+                f"got {v!r}")
     active = [k for k, v in shaper_node.items() if isinstance(v, dict)]
     if len(active) > 1:
         raise SpecError(
@@ -277,7 +284,7 @@ def spec_to_config(spec: dict[str, Any], stream_id: str = "",
             kwarg, coerce = _SHAPER_PARAM_KEYS[key]
             try:
                 shaper_params[kwarg] = coerce(value)
-            except (TypeError, ValueError):
+            except (TypeError, ValueError, OverflowError):
                 raise SpecError(
                     f"throughput.shaperImpl.memoryBound.{key}: expected "
                     f"{coerce.__name__}, got {value!r}") from None

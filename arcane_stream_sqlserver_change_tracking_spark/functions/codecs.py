@@ -94,7 +94,10 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise ValueError(f"ppm: bad dimensions {w}x{h} maxval={maxval}")
     n = w * h * 3
     if magic == b"P3":
-        vals = np.array(data[i:].split()[:n], dtype=np.int64)
+        try:
+            vals = np.array(data[i:].split()[:n], dtype=np.int64)
+        except (ValueError, OverflowError) as e:  # non-numeric / >int64 token
+            raise ValueError(f"ppm: bad P3 sample token ({e})") from e
         if vals.size != n:
             raise ValueError("ppm: truncated P3 pixel data")
     else:
@@ -135,10 +138,25 @@ def decode_bmp(data: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", data, 18)
     planes, bpp = struct.unpack_from("<HH", data, 26)
     (compression,) = struct.unpack_from("<I", data, 30)
-    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS(32-bit default masks)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS
         raise ValueError(f"bmp: unsupported compression {compression}")
     if bpp not in (24, 32):
         raise ValueError(f"bmp: unsupported bpp {bpp}")
+    if compression == 3:
+        # BI_BITFIELDS exists to express NON-default channel orders; we
+        # decode assuming BGRA, so accept only masks that say exactly
+        # that (alpha mask 0xFF000000 or absent) and reject the rest
+        # rather than silently swapping channels. Masks live in-header
+        # (BITMAPV2+/V4/V5, hdr_size >= 52) or right after a 40-byte
+        # BITMAPINFOHEADER.
+        mask_off = 14 + hdr_size if hdr_size == 40 else 54
+        if len(data) < mask_off + 12:
+            raise ValueError("bmp: BI_BITFIELDS without channel masks")
+        r_m, g_m, b_m = struct.unpack_from("<III", data, mask_off)
+        if (r_m, g_m, b_m) != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"bmp: unsupported channel masks "
+                f"({r_m:#010x}/{g_m:#010x}/{b_m:#010x}; want BGRA order)")
     top_down = h < 0
     h = abs(h)
     if w <= 0 or h == 0:
@@ -190,6 +208,12 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[i : i + 4]
         (size,) = struct.unpack_from("<I", data, i + 4)
         body = data[i + 8 : i + 8 + size]
+        if len(body) != size:
+            # a declared size past the buffer is a truncated file —
+            # decoding the partial payload silently would misreport
+            # n_samples/value stats downstream
+            raise ValueError(
+                f"wav: truncated chunk {cid!r} ({len(body)} < {size})")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":

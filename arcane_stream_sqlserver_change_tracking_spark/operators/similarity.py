@@ -414,10 +414,15 @@ def semantic_dedup(
     Pipeline: :func:`ivf_assign` buckets every vector by nearest
     centroid; within a bucket, all pairs with cosine >= ``threshold``
     are computed via a self-equi-join on ``centroid_id``; a vector is
-    dropped when it is near-duplicate to a HIGHER-priority vector in
-    its cluster (greedy keep-first — deterministic, order-free, and
-    exactly expressible in SQL for the oracle). ``keep`` sets the
-    priority:
+    dropped when it is near-duplicate to ANY higher-priority vector in
+    its cluster — a pairwise DOMINANCE rule (deterministic, order-free,
+    exactly expressible in SQL for the oracle). Note this is more
+    aggressive than per-group keep-one: in a chain a~b, b~c (a!~c)
+    with a highest-priority, b AND c are both dropped (c is dominated
+    by b even though b itself goes) — one join pass, no iteration. For
+    exact keep-one-per-connected-group semantics, feed the pair list
+    through :mod:`..operators.clusters` ``connected_components`` +
+    ``cluster_representatives`` instead. ``keep`` sets the priority:
 
     * ``"lowest_id"`` (default, the oracled path): smaller id wins —
       the cheapest deterministic rule;

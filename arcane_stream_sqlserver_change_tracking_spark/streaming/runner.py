@@ -260,15 +260,26 @@ class CdcEngine:
                 deduped = deduped.persist(StorageLevel.MEMORY_AND_DISK)
             else:
                 deduped = deduped.persist()
-        if self.opts.expectations:
-            from ..operators.quality_gate import enforce_expectations
+        try:
+            if self.opts.expectations:
+                from ..operators.quality_gate import enforce_expectations
 
-            enforce_expectations(deduped, list(self.opts.expectations))
-        bucket_stats = (
-            deduped.groupBy(_BUCKET)
-            .agg(F.count("*").alias("rows"), F.max(VERSION_COL).alias("last_version"))
-            .collect()
-        )
+                # tombstones never LAND (they delete), and the
+                # CHANGETABLE contract nulls a D row's payload columns —
+                # gating them would fail valid batches on not_null rules
+                enforce_expectations(
+                    deduped.filter(F.col(OPERATION_COL) != "D"),
+                    list(self.opts.expectations))
+            bucket_stats = (
+                deduped.groupBy(_BUCKET)
+                .agg(F.count("*").alias("rows"),
+                     F.max(VERSION_COL).alias("last_version"))
+                .collect()
+            )
+        except Exception:
+            if self.opts.cache_batches:  # don't leak the cached batch
+                deduped.unpersist()
+            raise
         return deduped, bucket_stats
 
     def apply_batch(

@@ -564,3 +564,40 @@ def test_prop_png_decoder_never_crashes_after_signature(data):
         decode_png(b"\x89PNG\r\n\x1a\n" + data)
     except ValueError:
         pass
+
+
+def test_review_regressions_codecs():
+    """Code-review findings pinned: (a) P3 sample token beyond int64 is
+    ValueError, not OverflowError; (b) a WAV chunk declaring more bytes
+    than the buffer holds is a truncation error, not silent partial
+    audio; (c) BI_BITFIELDS with non-BGRA masks is rejected, not
+    silently channel-swapped."""
+    with pytest.raises(ValueError, match="bad P3 sample token"):
+        decode_ppm(b"P3\n1 1\n255\n99999999999999999999999 1 2")
+
+    wav = bytearray(encode_wav(np.zeros((4, 1), "<i2"), 8000))
+    # inflate the data chunk's declared size past the buffer
+    off = wav.index(b"data") + 4
+    wav[off:off + 4] = struct.pack("<I", 0xFFFF)
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(bytes(wav))
+
+    img = _img(2, 2)
+    def bitfields_bmp(r_m, g_m, b_m):
+        h, w = 2, 2
+        stride = (w * 4 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        px = np.dstack([img[::-1, :, ::-1], np.full((h, w, 1), 255, np.uint8)])
+        rows[:, : w * 4] = px.reshape(h, w * 4)
+        pix = rows.tobytes()
+        header = struct.pack("<2sIHHI", b"BM", 70 + len(pix), 0, 0, 70)
+        info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 3, len(pix),
+                           2835, 2835, 0, 0)
+        masks = struct.pack("<III", r_m, g_m, b_m) + struct.pack("<I", 0xFF000000)
+        return header + info + masks + pix
+
+    # default BGRA masks decode; RGBA-order masks are rejected
+    ok = bitfields_bmp(0x00FF0000, 0x0000FF00, 0x000000FF)
+    assert np.array_equal(decode_bmp(ok)[:, :, :3], img)
+    with pytest.raises(ValueError, match="unsupported channel masks"):
+        decode_bmp(bitfields_bmp(0x000000FF, 0x0000FF00, 0x00FF0000))

@@ -546,3 +546,24 @@ def test_cli_spec_failures_exit_cleanly(tmp_path, capsys):
                       "--events", "10", "--spec", spec_path])
         assert exc.value.code == 2
         assert frag in capsys.readouterr().err
+
+
+def test_review_regressions_spec_contract():
+    """Code-review findings pinned: json.loads admits Infinity (int()
+    raises OverflowError) and a truthy non-object shaperImpl body must
+    not silently select the static shaper."""
+    base = {"sink": {"targetTableFullName": "a.b.c"}}
+    inf = json.loads('{"source": {"configuration": {"fetchSize": Infinity}}}')
+    with pytest.raises(SpecError, match="source.configuration.fetchSize"):
+        spec_to_config({**base, **inf}, "s1")
+    with pytest.raises(SpecError, match="chunkCostMax"):
+        spec_to_config({**base, "throughput": {"shaperImpl": {"memoryBound": {
+            "chunkCostMax": float("inf")}}}}, "s1")
+    with pytest.raises(SpecError,
+                       match="shaperImpl.memoryBound: expected an object"):
+        spec_to_config({**base, "throughput":
+                        {"shaperImpl": {"memoryBound": True}}}, "s1")
+    # null bodies stay valid (the CRD default has both variants null)
+    cfg = spec_to_config({**base, "throughput": {"shaperImpl": {
+        "memoryBound": None, "static": None}}}, "s1")
+    assert cfg.options.shaper_impl == "static"

@@ -132,3 +132,37 @@ def test_engine_expectation_gate_blocks_batch_atomically(spark, tmp_path):
 
     eng.run_incremental(log([(3, "good", 5, "I")]))
     assert eng.current_state().count() == 3
+
+
+def test_engine_gate_ignores_delete_tombstones(spark, tmp_path):
+    """Review regression: D rows carry NULL payload columns by
+    CHANGETABLE contract and never land — a not_null rule must not
+    block a batch for its tombstones, and the delete must still apply."""
+    from pyspark.sql import types as T
+
+    from arcane_stream_sqlserver_change_tracking_spark.plans.lake import LakeTable
+    from arcane_stream_sqlserver_change_tracking_spark.streaming.runner import (
+        CdcEngine,
+        EngineOptions,
+    )
+
+    payload = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    eng = CdcEngine(
+        spark, LakeTable(spark, str(tmp_path / "tomb")),
+        EngineOptions(key_columns=("doc_id",), num_buckets=4,
+                      expectations=({"column": "text", "check": "not_null"},)))
+    eng.bootstrap(payload)
+
+    def log(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, sys_change_version long, "
+                  "sys_change_operation string")
+
+    eng.run_incremental(log([(1, "a", 1, "I"), (2, "b", 2, "I")]))
+    # the delete's NULL text must pass the gate; the live row is checked
+    eng.run_incremental(log([(1, None, 3, "D"), (3, "c", 4, "I")]))
+    state = {r["doc_id"] for r in eng.current_state().collect()}
+    assert state == {2, 3}  # delete applied, insert landed
