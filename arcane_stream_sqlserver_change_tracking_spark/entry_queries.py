@@ -2083,6 +2083,76 @@ WHERE ('0x' || substr(sha256(d.doc_id::varchar), 1, 8))::bigint % 10000
 """
 
 
+def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature backfill (operators/asof.py asof_join):
+    every event gets the user's most recent STRICTLY-prior purchase
+    value — the canonical as-of self-join. Union–sort–window plan: no
+    join node at all, ONE hash Exchange on user_id for the window
+    (plan-pinned in tests/test_asof.py); the right side is deduped per
+    (user_id, ts) with max_by(value, event_id) so "the" prior row is
+    deterministic in both engines. Oracle = DuckDB's native ASOF LEFT
+    JOIN with the strict `>` bound."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("prev_purchase_value"))
+        .withColumnRenamed("user_id", "p_user")
+        .withColumnRenamed("ts", "p_ts")
+    )
+    return asof_join(
+        ev, purchases, [("user_id", "p_user")], "ts", "p_ts",
+        strict=True, payload=["prev_purchase_value"],
+    ).select("event_id", "user_id", "ts", "prev_purchase_value")
+
+
+SQL_ASOF_PREV_PURCHASE = """
+WITH p AS (
+  SELECT user_id, ts, arg_max(value, event_id) AS prev_purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+SELECT e.event_id, e.user_id, e.ts, p.prev_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts > p.ts
+"""
+
+
+def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment as-of join across tables: each event
+    carries the key's latest order at-or-before the event time
+    (inclusive backward). Orders are deduped per (custkey, orderdate)
+    by max orderkey — max_by carries the winner's price — so the match
+    is deterministic (the null/left-outer path is exercised by
+    asof_prev_purchase, where ~7% of events precede any purchase).
+    Same zero-join-node single-Exchange plan as the self-join
+    variant."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"),
+             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    return asof_join(
+        ev, orders, [("user_id", "o_custkey")], "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
+SQL_ASOF_LATEST_ORDER = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate)
+SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2140,6 +2210,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_stats": q_session_stats,
         "windowed_event_counts": q_windowed_event_counts,
         "json_props_stats": q_json_props_stats,
+        "asof_prev_purchase": q_asof_prev_purchase,
+        "asof_latest_order": q_asof_latest_order,
         "skew_report": q_skew_report,
         "expectation_report": q_expectation_report,
         "token_counts": q_token_counts,
@@ -2202,6 +2274,8 @@ def oracle_sql() -> dict[str, str]:
         "session_stats": SQL_SESSIONS,
         "windowed_event_counts": SQL_WINDOWED,
         "json_props_stats": SQL_JSON_PROPS,
+        "asof_prev_purchase": SQL_ASOF_PREV_PURCHASE,
+        "asof_latest_order": SQL_ASOF_LATEST_ORDER,
         "skew_report": SQL_SKEW_REPORT,
         "expectation_report": SQL_EXPECTATIONS,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -1,0 +1,206 @@
+"""Distributed as-of (point-in-time) join.
+
+The one join family Spark has no native operator for, and the one a
+transcript/CDC lake needs constantly: "for each left row at time t,
+the single most recent right row at or before t (per key)" — feature
+backfill against an event feed, point-in-time lookup against an SCD2
+history (operators/scd2.py), enrichment of a change stream with the
+latest prior dimension state. The reference's ecosystem delegates this
+to the warehouse engine (Trino/DuckDB spell it ``ASOF JOIN``); here it
+is built from Spark primitives with the plan shape that survives
+100 TB.
+
+Why not a range join: the naive SQL spelling
+``l JOIN r ON l.k = r.k AND r.ts <= l.ts`` explodes to every
+qualifying pair and then dedups with a window — O(|l|·|r|) worst case
+per key and a BroadcastNestedLoop/SortMerge blowup on skewed keys.
+
+Plan shape here (union–sort–window, the classic distributed as-of):
+
+* project both sides to (key…, ts, side, payload-struct) and UNION —
+  map-side only, no join node at all;
+* ONE hash Exchange on the key columns;
+* one sort per partition on (ts, side) feeding a single running
+  ``last(payload, ignorenulls)`` window, rows unbounded-preceding →
+  current — each left row reads the latest right payload in its
+  prefix; O(n log n) per partition, zero row multiplication;
+* filter back to left rows and unpack the struct.
+
+Tie and direction semantics are carried entirely by the (ts, side)
+sort order:
+
+* ``backward`` (default): latest right with ``r.ts <= l.ts``
+  (``<`` when ``strict=True``) — right sorts before left at equal ts
+  for inclusive, after it for strict;
+* ``forward``: earliest right with ``r.ts >= l.ts`` (``>`` when
+  strict) — same trick over a descending ts sort;
+* ``tolerance_seconds``: matches farther than the tolerance from the
+  left timestamp are nulled out (pandas ``merge_asof`` semantics) —
+  the match is still the nearest one, never the nearest-within-
+  tolerance.
+
+Determinism contract: the right side must be unique per (key…, ts) —
+duplicate timestamps make "the" latest row ambiguous in every engine
+(DuckDB's ASOF JOIN picks an arbitrary one). Callers dedupe first
+(``max_by`` on a tiebreak column); this operator fails fast only in
+tests, not with a runtime count (no extra Exchange on the hot path).
+
+Null semantics: right rows with a null key or null timestamp can
+never be "the latest prior row" and are dropped; left rows with null
+key/ts are kept and get a null match (nulls-first placement puts them
+before any right row in the sort for either direction).
+
+Exactly SQL-expressible (DuckDB ``ASOF [LEFT] JOIN``), so the
+operator oracles directly against the driver's DuckDB gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_TS = "__asof_ts"
+_SIDE = "__asof_side"
+_LEFT = "__asof_l"
+_RIGHT = "__asof_r"
+_MATCH = "__asof_m"
+_MATCH_TS = "__asof_mts"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str | tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Left as-of join: every ``left`` row, enriched with the payload
+    columns of its single nearest ``right`` row per key (null when no
+    right row qualifies).
+
+    ``on`` lists equi-key columns — a plain string when the name is
+    shared, a ``(left_name, right_name)`` pair otherwise. ``payload``
+    selects the right columns to carry (default: everything on the
+    right except its key and timestamp columns); payload names must
+    not collide with left column names — rename on the right first.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = [(k, k) if isinstance(k, str) else (k[0], k[1]) for k in on]
+    if not keys:
+        raise ValueError("asof_join needs at least one key column")
+    rkey_names = [rk for _, rk in keys]
+    if payload is None:
+        payload = [c for c in right.columns
+                   if c not in rkey_names and c != right_ts]
+    payload = list(payload)
+    collisions = set(payload) & set(left.columns)
+    if collisions:
+        raise ValueError(
+            f"payload columns collide with left columns: {sorted(collisions)};"
+            " rename them on the right side first")
+
+    key_aliases = [f"__asof_k{i}" for i in range(len(keys))]
+
+    left_side = left.select(
+        *[F.col(lk).alias(a) for (lk, _), a in zip(keys, key_aliases)],
+        F.col(left_ts).alias(_TS),
+        F.lit(1).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias(_LEFT),
+        F.lit(None).cast(
+            right.select(F.struct(
+                F.col(right_ts).alias(_MATCH_TS),
+                *[F.col(c) for c in payload]).alias(_RIGHT)
+            ).schema[_RIGHT].dataType).alias(_RIGHT),
+    )
+    # A right row with a null key or null ts can never be a match —
+    # drop it map-side so null-keyed LEFT rows cannot pair with it.
+    right_side = (
+        right
+        .where(F.col(right_ts).isNotNull()
+               & F.expr(" AND ".join(f"`{rk}` IS NOT NULL"
+                                     for _, rk in keys)))
+        .select(
+            *[F.col(rk).alias(a) for (_, rk), a in zip(keys, key_aliases)],
+            F.col(right_ts).alias(_TS),
+            F.lit(0).alias(_SIDE),
+            F.lit(None).cast(
+                left.select(F.struct(*[F.col(c) for c in left.columns])
+                            .alias(_LEFT)).schema[_LEFT].dataType
+            ).alias(_LEFT),
+            F.struct(F.col(right_ts).alias(_MATCH_TS),
+                     *[F.col(c) for c in payload]).alias(_RIGHT),
+        )
+    )
+
+    # (ts, side) sort order encodes direction + strictness; nulls-first
+    # keeps null-ts left rows ahead of every right row (=> null match).
+    if direction == "backward":
+        ts_order = F.col(_TS).asc_nulls_first()
+    else:
+        ts_order = F.col(_TS).desc_nulls_first()
+    # inclusive: right (side 0) sorts before left at equal ts => visible;
+    # strict: right sorts after left at equal ts => invisible.
+    side_order = F.col(_SIDE).desc() if strict else F.col(_SIDE).asc()
+
+    w = (Window.partitionBy(*key_aliases)
+         .orderBy(ts_order, side_order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (
+        left_side.unionByName(right_side)
+        .withColumn(_MATCH, F.last(_RIGHT, ignorenulls=True).over(w))
+        .where(F.col(_SIDE) == 1)
+    )
+
+    m = F.col(_MATCH)
+    if tolerance_seconds is not None:
+        # timestamps cast to double = epoch seconds; numeric ts pass through
+        gap = F.abs(F.col(_TS).cast("double")
+                    - m[_MATCH_TS].cast("double"))
+        in_tol = m.isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
+        m = F.when(in_tol, m)
+
+    return matched.select(
+        *[F.col(f"{_LEFT}.`{c}`").alias(c) for c in left.columns],
+        *[m[c].alias(c) for c in payload],
+    )
+
+
+def asof_lookup_scd2(
+    facts: DataFrame,
+    history: DataFrame,
+    on: Sequence[str | tuple[str, str]],
+    fact_version: str,
+    *,
+    valid_from: str = "valid_from_version",
+    valid_to: str = "valid_to_version",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Point-in-time lookup of an SCD2 history (operators/scd2.py
+    output): each fact row gets the dimension payload whose interval
+    contains the fact's version. Because SCD2 intervals tile the
+    version axis per key, ``interval containing v`` ≡ ``latest
+    valid_from <= v`` — a backward as-of join, no range predicate —
+    EXCEPT after a delete, where the latest interval is already closed
+    (``valid_to <= v``, exclusive bound, and nothing reopened); those
+    matches are nulled out so a deleted key reads as absent."""
+    if payload is None:
+        keys = {(k if isinstance(k, str) else k[1]) for k in on}
+        payload = [c for c in history.columns
+                   if c not in keys and c not in (valid_from, valid_to)]
+    payload = list(payload)
+    joined = asof_join(facts, history, on, fact_version, valid_from,
+                       direction="backward",
+                       payload=payload + [valid_to])
+    expired = (F.col(valid_to).isNotNull()
+               & (F.col(valid_to) <= F.col(fact_version)))
+    return joined.select(
+        *[F.col(c) for c in facts.columns],
+        *[F.when(~expired, F.col(c)).alias(c) for c in payload],
+    )
