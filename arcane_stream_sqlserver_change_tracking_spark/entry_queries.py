@@ -2153,6 +2153,54 @@ FROM events e ASOF LEFT JOIN r
 """
 
 
+def q_interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-containment join (operators/intervals.py interval_join):
+    each event joined back into its user's session interval. The
+    bucketed rewrite keeps it an EQUI-join on (user_id, time-bin) —
+    intervals exploded map-side to covered bins, exact bounds
+    re-checked post-join — never the all-pairs range filter a naive
+    inequality join degrades to (plan-pinned: no BroadcastNestedLoop).
+    Oracle = the naive inequality join over the same windowed
+    sessionization, fine at sf0.01."""
+    from .operators.intervals import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_stats(ev, gap_seconds=1800).withColumnRenamed(
+        "user_id", "s_user")
+    return interval_join(
+        ev, sess, [("user_id", "s_user")], "ts",
+        "session_start", "session_end",
+        bin_width_seconds=1800.0, bounds="[]",
+        payload=["session_idx", "n_events"],
+    ).select("event_id", "user_id", "ts", "session_idx", "n_events")
+
+
+SQL_INTERVAL_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM ordered),
+sess AS (
+  SELECT user_id, ts, event_id,
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS bigint) AS session_idx
+  FROM flagged),
+agg AS (
+  SELECT user_id, session_idx, min(ts) AS s, max(ts) AS e,
+         count(*) AS n_events
+  FROM sess GROUP BY user_id, session_idx)
+SELECT e.event_id, e.user_id, e.ts, a.session_idx, a.n_events
+FROM events e JOIN agg a
+  ON e.user_id = a.user_id AND e.ts >= a.s AND e.ts <= a.e
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2212,6 +2260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "asof_prev_purchase": q_asof_prev_purchase,
         "asof_latest_order": q_asof_latest_order,
+        "interval_join_sessions": q_interval_join_sessions,
         "skew_report": q_skew_report,
         "expectation_report": q_expectation_report,
         "token_counts": q_token_counts,
@@ -2276,6 +2325,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": SQL_JSON_PROPS,
         "asof_prev_purchase": SQL_ASOF_PREV_PURCHASE,
         "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+        "interval_join_sessions": SQL_INTERVAL_SESSIONS,
         "skew_report": SQL_SKEW_REPORT,
         "expectation_report": SQL_EXPECTATIONS,
         "token_counts": SQL_TOKEN_COUNTS,

@@ -160,9 +160,11 @@ def asof_join(
 
     m = F.col(_MATCH)
     if tolerance_seconds is not None:
-        # timestamps cast to double = epoch seconds; numeric ts pass through
-        gap = F.abs(F.col(_TS).cast("double")
-                    - m[_MATCH_TS].cast("double"))
+        from ._time import epoch_seconds
+
+        gap = F.abs(
+            epoch_seconds(F.col(_TS), left.schema[left_ts].dataType)
+            - epoch_seconds(m[_MATCH_TS], right.schema[right_ts].dataType))
         in_tol = m.isNotNull() & (gap <= F.lit(float(tolerance_seconds)))
         m = F.when(in_tol, m)
 

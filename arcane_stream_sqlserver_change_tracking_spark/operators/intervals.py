@@ -1,0 +1,119 @@
+"""Distributed interval (range-containment) join via time binning.
+
+Complement of the as-of join (operators/asof.py): instead of "the one
+nearest right row", answer "which interval contains this point" —
+events into sessions, changes into maintenance windows, facts into
+SCD2-style validity ranges keyed by time rather than version.
+
+Why not the naive spelling: ``p JOIN i ON p.k = i.k AND i.s <= p.ts
+AND p.ts < i.e`` gives Catalyst no equi-condition on the range, so the
+range predicate runs as a post-filter over every same-key pair —
+O(|points|·|intervals|) per key, a skewed key becomes a cartesian
+bomb. The bucketed rewrite (same idea as Databricks' range-join
+optimization and the banded LSH join in operators/corpus.py) restores
+an equi-join:
+
+* pick a bin width ``w`` (seconds); a point belongs to exactly ONE bin
+  ``floor(ts/w)``; an interval is exploded map-side to the bins it
+  covers — ``sequence(floor(s/w), floor(e/w))``, an expansion factor
+  of ~``len/w + 1`` that the CALLER controls by choosing ``w`` near
+  the typical interval length;
+* equi-join on (key…, bin) — a plain shuffled (or AQE-broadcast) hash
+  join, never BroadcastNestedLoop — then re-check the exact bounds.
+
+Each (point, interval) pair can meet in at most one bin (the point's),
+so the join produces no duplicates and needs no post-dedup. Degenerate
+intervals (end < start) and null key/bound rows are dropped map-side.
+
+Exactly SQL-expressible (the small-scale oracle is the naive
+inequality join), so the operator oracles directly against DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from ._time import epoch_seconds
+
+_BIN = "__iv_bin"
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str | tuple[str, str]],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bin_width_seconds: float,
+    bounds: str = "[)",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """Inner join of each ``points`` row to every ``intervals`` row
+    (same key) whose [start, end) — or [start, end] with
+    ``bounds="[]"`` — contains the point's timestamp.
+
+    ``on`` lists equi-key columns (string when shared, ``(point_name,
+    interval_name)`` pair otherwise); it may be empty, in which case
+    the bin itself is the only equi-key (fine when the interval side is
+    broadcast-small). ``payload`` selects interval columns to carry
+    (default: everything except the interval's keys and bounds); names
+    must not collide with point columns. Timestamps or plain numerics
+    both work — bounds are compared in epoch seconds.
+    """
+    if bounds not in ("[)", "[]"):
+        raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
+    if bin_width_seconds <= 0:
+        raise ValueError("bin_width_seconds must be positive")
+    keys = [(k, k) if isinstance(k, str) else (k[0], k[1]) for k in on]
+    ikey_names = [ik for _, ik in keys]
+    if payload is None:
+        payload = [c for c in intervals.columns
+                   if c not in ikey_names and c not in (start_col, end_col)]
+    payload = list(payload)
+    collisions = set(payload) & set(points.columns)
+    if collisions:
+        raise ValueError(
+            f"payload columns collide with point columns: {sorted(collisions)};"
+            " rename them on the interval side first")
+
+    w = float(bin_width_seconds)
+    s = epoch_seconds(F.col(start_col), intervals.schema[start_col].dataType)
+    e = epoch_seconds(F.col(end_col), intervals.schema[end_col].dataType)
+    right = (
+        intervals
+        .where(s.isNotNull() & e.isNotNull() & (s <= e)
+               & (F.lit(True) if not keys else
+                  F.expr(" AND ".join(f"`{ik}` IS NOT NULL"
+                                      for _, ik in keys))))
+        .select(
+            *[F.col(ik).alias(f"__iv_k{i}")
+              for i, (_, ik) in enumerate(keys)],
+            F.explode(F.sequence(F.floor(s / w), F.floor(e / w)))
+            .alias(_BIN),
+            s.alias("__iv_s"),
+            e.alias("__iv_e"),
+            *[F.col(c) for c in payload],
+        )
+    )
+    pt_dtype = points.schema[point_ts].dataType
+    left = points.withColumn(
+        _BIN, F.floor(epoch_seconds(F.col(point_ts), pt_dtype) / w))
+
+    join_cond = (left[_BIN] == right[_BIN])
+    for i, (pk, _) in enumerate(keys):
+        join_cond = join_cond & (left[pk] == right[f"__iv_k{i}"])
+
+    pts = epoch_seconds(left[point_ts], pt_dtype)
+    lo_ok = F.col("__iv_s") <= pts
+    hi_ok = (pts < F.col("__iv_e") if bounds == "[)"
+             else pts <= F.col("__iv_e"))
+    return (
+        left.join(right, join_cond, "inner")
+        .where(lo_ok & hi_ok)
+        .select(*[left[c] for c in points.columns],
+                *[F.col(c) for c in payload])
+    )

@@ -1,0 +1,116 @@
+"""Interval (range-containment) join: bounds semantics, multi-bin
+spans, overlap multiplicity, degenerate/null hygiene, numeric axes,
+and the no-BNLJ plan pin."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from arcane_stream_sqlserver_change_tracking_spark.operators.intervals import (
+    interval_join,
+)
+
+
+def _ts(day, hour=0, minute=0):
+    return dt.datetime(2024, 1, day, hour, minute)
+
+
+@pytest.fixture(scope="module")
+def windows(spark):
+    return spark.createDataFrame(
+        [
+            Row(wk="a", ws=_ts(1), we=_ts(3), wid=1),
+            Row(wk="a", ws=_ts(2), we=_ts(10), wid=2),   # overlaps wid=1, spans many bins
+            Row(wk="b", ws=_ts(1), we=_ts(2), wid=3),
+            Row(wk="a", ws=_ts(9), we=_ts(5), wid=4),    # degenerate: dropped
+            Row(wk=None, ws=_ts(1), we=_ts(9), wid=5),   # null key: dropped
+        ]
+    )
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return spark.createDataFrame(
+        [
+            Row(pid=1, k="a", ts=_ts(2, 12)),  # inside wid 1 and 2
+            Row(pid=2, k="a", ts=_ts(3)),      # boundary: end of 1, inside 2
+            Row(pid=3, k="a", ts=_ts(7)),      # middle bin of wid 2 only
+            Row(pid=4, k="b", ts=_ts(5)),      # after b's window
+            Row(pid=5, k=None, ts=_ts(2)),     # null key: no match
+        ]
+    )
+
+
+def _wids(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.pid, set()).add(r.wid)
+    return out
+
+
+def test_half_open_bounds(pts, windows):
+    out = interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                        bin_width_seconds=86400.0, payload=["wid"])
+    assert _wids(out) == {1: {1, 2}, 2: {2}, 3: {2}}
+
+
+def test_closed_bounds_include_end(pts, windows):
+    out = interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                        bin_width_seconds=86400.0, bounds="[]",
+                        payload=["wid"])
+    assert _wids(out)[2] == {1, 2}  # end of wid 1 now included
+
+
+def test_bin_width_invariance(pts, windows):
+    for w in (3600.0, 6 * 3600.0, 7 * 86400.0):
+        out = interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                            bin_width_seconds=w, payload=["wid"])
+        assert _wids(out) == {1: {1, 2}, 2: {2}, 3: {2}}
+
+
+def test_numeric_axis(spark):
+    p = spark.createDataFrame([Row(pid=1, v=5.0), Row(pid=2, v=50.0)])
+    iv = spark.createDataFrame([Row(lo=0.0, hi=10.0, band="low"),
+                                Row(lo=10.0, hi=100.0, band="high")])
+    out = interval_join(p, iv, [], "v", "lo", "hi",
+                        bin_width_seconds=10.0, payload=["band"])
+    assert {r.pid: r.band for r in out.collect()} == {1: "low", 2: "high"}
+
+
+def test_payload_collision_and_bad_args(pts, windows):
+    with pytest.raises(ValueError, match="collide"):
+        interval_join(pts, windows.withColumnRenamed("wid", "ts"),
+                      [("k", "wk")], "ts", "ws", "we",
+                      bin_width_seconds=60.0, payload=["ts"])
+    with pytest.raises(ValueError, match="bounds"):
+        interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                      bin_width_seconds=60.0, bounds="()")
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                      bin_width_seconds=0)
+
+
+def test_plan_equi_join_never_bnlj(pts, windows):
+    out = interval_join(pts, windows, [("k", "wk")], "ts", "ws", "we",
+                        bin_width_seconds=86400.0, payload=["wid"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    assert "Cartesian" not in plan
+
+
+def test_events_land_in_their_own_session(spark, sf_dir):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.sessions import (
+        session_stats,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = session_stats(ev, gap_seconds=1800).withColumnRenamed(
+        "user_id", "s_user")
+    out = interval_join(ev, sess, [("user_id", "s_user")], "ts",
+                        "session_start", "session_end",
+                        bin_width_seconds=1800.0, bounds="[]",
+                        payload=["session_idx"])
+    # sessions partition a user's events: every event in exactly one
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
