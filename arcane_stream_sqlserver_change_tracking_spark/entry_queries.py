@@ -2201,6 +2201,56 @@ FROM events e JOIN agg a
 """
 
 
+def q_scd2_asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time read of the SCD2 history at arbitrary versions
+    (operators/asof.py asof_lookup_scd2 over operators/scd2.py output):
+    each event probes the dimension state AT version = its own
+    event_id — one below its own change, so the probe reads the PRIOR
+    state, exercising before-first-insert (null), mid-history, and
+    post-delete (expired → null) paths. Interval containment ≡ latest
+    valid_from <= v on tiling intervals, so the lookup is the same
+    no-join-node union–sort–window plan; the oracle spells containment
+    as an explicit range LEFT JOIN, exact at sf0.01."""
+    from .operators.asof import asof_lookup_scd2
+
+    ev = _t(spark, sf_dir, "events")
+    log = events_as_changelog(ev)
+    hist = (
+        scd2_history(log, key_columns=["user_id"], version_col=VERSION_COL,
+                     op_col=OPERATION_COL,
+                     payload_columns=["event_type", "value"])
+        .withColumnRenamed("user_id", "h_user")
+        .withColumnRenamed("event_type", "h_event_type")
+        .withColumnRenamed("value", "h_value")
+    )
+    facts = ev.select("event_id", "user_id",
+                      F.col("event_id").alias("v"))
+    return asof_lookup_scd2(
+        facts, hist, [("user_id", "h_user")], "v",
+        payload=["h_event_type", "h_value"],
+    )
+
+
+SQL_SCD2_ASOF = f"""
+WITH {_LOG_CTE},
+w AS (
+  SELECT user_id, event_type, value,
+         sys_change_operation AS op,
+         sys_change_version AS vf,
+         lead(sys_change_version) OVER (
+           PARTITION BY user_id ORDER BY sys_change_version) AS vt
+  FROM log),
+hist AS (
+  SELECT user_id, event_type AS h_event_type, value AS h_value, vf, vt
+  FROM w WHERE op <> 'D'),
+f AS (SELECT event_id, user_id, event_id AS v FROM events)
+SELECT f.event_id, f.user_id, f.v, h.h_event_type, h.h_value
+FROM f LEFT JOIN hist h
+  ON f.user_id = h.user_id AND h.vf <= f.v
+ AND (h.vt IS NULL OR h.vt > f.v)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2261,6 +2311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_prev_purchase": q_asof_prev_purchase,
         "asof_latest_order": q_asof_latest_order,
         "interval_join_sessions": q_interval_join_sessions,
+        "scd2_asof_lookup": q_scd2_asof_lookup,
         "skew_report": q_skew_report,
         "expectation_report": q_expectation_report,
         "token_counts": q_token_counts,
@@ -2326,6 +2377,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_prev_purchase": SQL_ASOF_PREV_PURCHASE,
         "asof_latest_order": SQL_ASOF_LATEST_ORDER,
         "interval_join_sessions": SQL_INTERVAL_SESSIONS,
+        "scd2_asof_lookup": SQL_SCD2_ASOF,
         "skew_report": SQL_SKEW_REPORT,
         "expectation_report": SQL_EXPECTATIONS,
         "token_counts": SQL_TOKEN_COUNTS,

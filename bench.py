@@ -80,6 +80,10 @@ BENCH_QUERIES = [
     # sampling) — zero-Exchange mapInPandas, both <1s warm at sf0.1.
     "multimodal_png_features",
     "video_frame_stats",
+    # r5: temporal joins — as-of (union-sort-window, no join node) and
+    # the binned interval join (equi-join on (key, bin), never BNLJ).
+    "asof_prev_purchase",
+    "interval_join_sessions",
 ]
 
 TRANSCRIPT_PAYLOAD = T.StructType(
