@@ -60,6 +60,14 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ._join_common import (
+    all_not_null,
+    qcol,
+    check_payload_collisions,
+    default_payload,
+    normalize_keys,
+)
+
 _TS = "__asof_ts"
 _SIDE = "__asof_side"
 _LEFT = "__asof_l"
@@ -92,50 +100,44 @@ def asof_join(
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
-    keys = [(k, k) if isinstance(k, str) else (k[0], k[1]) for k in on]
+    keys = normalize_keys(on)
     if not keys:
         raise ValueError("asof_join needs at least one key column")
     rkey_names = [rk for _, rk in keys]
     if payload is None:
-        payload = [c for c in right.columns
-                   if c not in rkey_names and c != right_ts]
+        payload = default_payload(right.columns, [*rkey_names, right_ts])
     payload = list(payload)
-    collisions = set(payload) & set(left.columns)
-    if collisions:
-        raise ValueError(
-            f"payload columns collide with left columns: {sorted(collisions)};"
-            " rename them on the right side first")
+    check_payload_collisions(payload, left.columns, "left")
 
     key_aliases = [f"__asof_k{i}" for i in range(len(keys))]
 
     left_side = left.select(
-        *[F.col(lk).alias(a) for (lk, _), a in zip(keys, key_aliases)],
-        F.col(left_ts).alias(_TS),
+        *[qcol(lk).alias(a) for (lk, _), a in zip(keys, key_aliases)],
+        qcol(left_ts).alias(_TS),
         F.lit(1).alias(_SIDE),
-        F.struct(*[F.col(c) for c in left.columns]).alias(_LEFT),
+        F.struct(*[qcol(c).alias(c) for c in left.columns]).alias(_LEFT),
         F.lit(None).cast(
             right.select(F.struct(
-                F.col(right_ts).alias(_MATCH_TS),
-                *[F.col(c) for c in payload]).alias(_RIGHT)
+                qcol(right_ts).alias(_MATCH_TS),
+                *[qcol(c).alias(c) for c in payload]).alias(_RIGHT)
             ).schema[_RIGHT].dataType).alias(_RIGHT),
     )
     # A right row with a null key or null ts can never be a match —
     # drop it map-side so null-keyed LEFT rows cannot pair with it.
     right_side = (
         right
-        .where(F.col(right_ts).isNotNull()
-               & F.expr(" AND ".join(f"`{rk}` IS NOT NULL"
-                                     for _, rk in keys)))
+        .where(qcol(right_ts).isNotNull()
+               & all_not_null([rk for _, rk in keys]))
         .select(
-            *[F.col(rk).alias(a) for (_, rk), a in zip(keys, key_aliases)],
-            F.col(right_ts).alias(_TS),
+            *[qcol(rk).alias(a) for (_, rk), a in zip(keys, key_aliases)],
+            qcol(right_ts).alias(_TS),
             F.lit(0).alias(_SIDE),
             F.lit(None).cast(
-                left.select(F.struct(*[F.col(c) for c in left.columns])
+                left.select(F.struct(*[qcol(c).alias(c) for c in left.columns])
                             .alias(_LEFT)).schema[_LEFT].dataType
             ).alias(_LEFT),
-            F.struct(F.col(right_ts).alias(_MATCH_TS),
-                     *[F.col(c) for c in payload]).alias(_RIGHT),
+            F.struct(qcol(right_ts).alias(_MATCH_TS),
+                     *[qcol(c).alias(c) for c in payload]).alias(_RIGHT),
         )
     )
 
@@ -169,8 +171,8 @@ def asof_join(
         m = F.when(in_tol, m)
 
     return matched.select(
-        *[F.col(f"{_LEFT}.`{c}`").alias(c) for c in left.columns],
-        *[m[c].alias(c) for c in payload],
+        *[F.col(_LEFT).getField(c).alias(c) for c in left.columns],
+        *[m.getField(c).alias(c) for c in payload],
     )
 
 
@@ -193,16 +195,16 @@ def asof_lookup_scd2(
     (``valid_to <= v``, exclusive bound, and nothing reopened); those
     matches are nulled out so a deleted key reads as absent."""
     if payload is None:
-        keys = {(k if isinstance(k, str) else k[1]) for k in on}
-        payload = [c for c in history.columns
-                   if c not in keys and c not in (valid_from, valid_to)]
+        rkeys = [rk for _, rk in normalize_keys(on)]
+        payload = default_payload(history.columns,
+                                  [*rkeys, valid_from, valid_to])
     payload = list(payload)
     joined = asof_join(facts, history, on, fact_version, valid_from,
                        direction="backward",
                        payload=payload + [valid_to])
-    expired = (F.col(valid_to).isNotNull()
-               & (F.col(valid_to) <= F.col(fact_version)))
+    expired = (qcol(valid_to).isNotNull()
+               & (qcol(valid_to) <= qcol(fact_version)))
     return joined.select(
-        *[F.col(c) for c in facts.columns],
-        *[F.when(~expired, F.col(c)).alias(c) for c in payload],
+        *[qcol(c).alias(c) for c in facts.columns],
+        *[F.when(~expired, qcol(c)).alias(c) for c in payload],
     )

@@ -35,9 +35,20 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from ._join_common import (
+    all_not_null,
+    qcol,
+    quote_name,
+    check_payload_collisions,
+    check_reserved_names,
+    default_payload,
+    normalize_keys,
+)
 from ._time import epoch_seconds
 
 _BIN = "__iv_bin"
+_IV_S = "__iv_s"
+_IV_E = "__iv_e"
 
 
 def interval_join(
@@ -68,52 +79,54 @@ def interval_join(
         raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
     if bin_width_seconds <= 0:
         raise ValueError("bin_width_seconds must be positive")
-    keys = [(k, k) if isinstance(k, str) else (k[0], k[1]) for k in on]
+    keys = normalize_keys(on)
     ikey_names = [ik for _, ik in keys]
     if payload is None:
-        payload = [c for c in intervals.columns
-                   if c not in ikey_names and c not in (start_col, end_col)]
+        payload = default_payload(intervals.columns,
+                                  [*ikey_names, start_col, end_col])
     payload = list(payload)
-    collisions = set(payload) & set(points.columns)
-    if collisions:
-        raise ValueError(
-            f"payload columns collide with point columns: {sorted(collisions)};"
-            " rename them on the interval side first")
+    check_payload_collisions(payload, points.columns, "point")
+    # The bin/bound working names must not shadow user columns: a
+    # points column named __iv_bin would be silently overwritten by
+    # withColumn below; a payload named __iv_s/__iv_e would make the
+    # exact-bounds recheck ambiguous.
+    reserved = [_BIN, _IV_S, _IV_E,
+                *[f"__iv_k{i}" for i in range(len(keys))]]
+    check_reserved_names(reserved, ("points", points.columns),
+                         ("payload", payload))
 
     w = float(bin_width_seconds)
-    s = epoch_seconds(F.col(start_col), intervals.schema[start_col].dataType)
-    e = epoch_seconds(F.col(end_col), intervals.schema[end_col].dataType)
+    s = epoch_seconds(qcol(start_col), intervals.schema[start_col].dataType)
+    e = epoch_seconds(qcol(end_col), intervals.schema[end_col].dataType)
     right = (
         intervals
         .where(s.isNotNull() & e.isNotNull() & (s <= e)
-               & (F.lit(True) if not keys else
-                  F.expr(" AND ".join(f"`{ik}` IS NOT NULL"
-                                      for _, ik in keys))))
+               & all_not_null(ikey_names))
         .select(
-            *[F.col(ik).alias(f"__iv_k{i}")
+            *[qcol(ik).alias(f"__iv_k{i}")
               for i, (_, ik) in enumerate(keys)],
             F.explode(F.sequence(F.floor(s / w), F.floor(e / w)))
             .alias(_BIN),
-            s.alias("__iv_s"),
-            e.alias("__iv_e"),
-            *[F.col(c) for c in payload],
+            s.alias(_IV_S),
+            e.alias(_IV_E),
+            *[qcol(c).alias(c) for c in payload],
         )
     )
     pt_dtype = points.schema[point_ts].dataType
     left = points.withColumn(
-        _BIN, F.floor(epoch_seconds(F.col(point_ts), pt_dtype) / w))
+        _BIN, F.floor(epoch_seconds(qcol(point_ts), pt_dtype) / w))
 
     join_cond = (left[_BIN] == right[_BIN])
     for i, (pk, _) in enumerate(keys):
-        join_cond = join_cond & (left[pk] == right[f"__iv_k{i}"])
+        join_cond = join_cond & (left[quote_name(pk)] == right[f"__iv_k{i}"])
 
-    pts = epoch_seconds(left[point_ts], pt_dtype)
-    lo_ok = F.col("__iv_s") <= pts
-    hi_ok = (pts < F.col("__iv_e") if bounds == "[)"
-             else pts <= F.col("__iv_e"))
+    pts = epoch_seconds(left[quote_name(point_ts)], pt_dtype)
+    lo_ok = F.col(_IV_S) <= pts
+    hi_ok = (pts < F.col(_IV_E) if bounds == "[)"
+             else pts <= F.col(_IV_E))
     return (
         left.join(right, join_cond, "inner")
         .where(lo_ok & hi_ok)
-        .select(*[left[c] for c in points.columns],
-                *[F.col(c) for c in payload])
+        .select(*[left[quote_name(c)] for c in points.columns],
+                *[qcol(c).alias(c) for c in payload])
     )

@@ -160,3 +160,15 @@ def test_matches_duckdb_asof_on_synthetic_events(spark, sf_dir):
     for eid, pv in oracle:
         a, b = got[eid], pv
         assert (a is None and b is None) or abs(a - b) < 1e-9
+
+
+def test_special_character_column_names(spark):
+    # Names containing backticks and dots are legal in Spark schemas
+    # (external metadata produces them); every internal reference is
+    # literally quoted, so the join must work unchanged.
+    left = spark.createDataFrame([(1, 10.0), (None, 20.0)], ["k`y", "t.s"])
+    right = spark.createDataFrame(
+        [(1, 5.0, "a"), (1, 15.0, "b")], ["k`y", "rts", "va`l"])
+    out = asof_join(left, right, [("k`y", "k`y")], "t.s", "rts").collect()
+    got = {r["k`y"]: r["va`l"] for r in out}
+    assert got == {1: "a", None: None}

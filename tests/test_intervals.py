@@ -114,3 +114,29 @@ def test_events_land_in_their_own_session(spark, sf_dir):
     # sessions partition a user's events: every event in exactly one
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+
+def test_reserved_internal_names_rejected(spark):
+    pts = spark.createDataFrame([(1, 12.0)], ["k", "ts"])
+    iv = spark.createDataFrame([(1, 10.0, 20.0, "w")], ["k", "s", "e", "nm"])
+    # points column shadowing the internal bin column would be
+    # silently overwritten — must fail fast instead
+    bad_pts = pts.withColumnRenamed("ts", "__iv_bin")
+    with pytest.raises(ValueError, match="internal working names"):
+        interval_join(bad_pts, iv, ["k"], "__iv_bin", "s", "e",
+                      bin_width_seconds=5.0)
+    # payload shadowing the internal bound columns would make the
+    # exact-bounds recheck ambiguous
+    bad_iv = iv.withColumnRenamed("nm", "__iv_s")
+    with pytest.raises(ValueError, match="internal working names"):
+        interval_join(pts, bad_iv, ["k"], "ts", "s", "e",
+                      bin_width_seconds=5.0, payload=["__iv_s"])
+
+
+def test_special_character_column_names(spark):
+    pts = spark.createDataFrame([(1, 12.0), (1, 99.0)], ["k`1", "t.s"])
+    iv = spark.createDataFrame([(1, 10.0, 20.0, "w1")],
+                               ["k", "s.s", "e`e", "na me"])
+    out = interval_join(pts, iv, [("k`1", "k")], "t.s", "s.s", "e`e",
+                        bin_width_seconds=5.0).collect()
+    assert [(r["k`1"], r["na me"]) for r in out] == [(1, "w1")]
