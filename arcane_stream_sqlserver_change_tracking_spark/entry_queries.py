@@ -2251,6 +2251,54 @@ FROM f LEFT JOIN hist h
 """
 
 
+def q_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion (operators/neardup_index.py):
+    drain documents in THREE ascending-id batches through a maintained
+    LSH band index — each batch is filtered against only the index
+    buckets it touches, O(batch) not O(corpus) — and return every
+    doc's kept/dropped decision. The rule is batch-boundary invariant
+    (drop ⇔ some lower-id doc verifies ≥ threshold), so the oracle is
+    the one-shot SQL statement of that rule over the verified minhash
+    pairs; batching is exercised by the Spark side, invariance by the
+    match itself (and directly in tests/test_neardup_index.py)."""
+    from .operators.neardup_index import NearDupIndex
+
+    docs = _t(spark, sf_dir, "documents")
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    idx = NearDupIndex(tempfile.mkdtemp(prefix="neardup_idx_"),
+                       num_perms=16, num_bands=4, threshold=0.5,
+                       buckets=16)
+    for i, (b_lo, b_hi) in enumerate([(lo, cut1), (cut1 + 1, cut2),
+                                      (cut2 + 1, hi)]):
+        batch = docs.where((F.col("doc_id") >= b_lo)
+                           & (F.col("doc_id") <= b_hi))
+        idx.filter_batch(batch, f"b{i}")
+    return idx.decisions(spark).select("doc_id", "kept")
+
+
+def _sql_near_dup_ingest(num_perms: int = 16, num_bands: int = 4,
+                         threshold: float = 0.5) -> str:
+    eq = " + ".join(
+        f"CASE WHEN x.mh{i} = y.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_perms))
+    return f"""
+WITH {_sql_minhash_ctes(num_perms, num_bands)},
+verified AS (
+  SELECT p.b
+  FROM pairs p
+  JOIN sig x ON x.doc_id = p.a
+  JOIN sig y ON y.doc_id = p.b
+  WHERE ({eq}) / {float(num_perms)} >= {threshold})
+SELECT d.doc_id,
+       d.doc_id NOT IN (SELECT b FROM verified) AS kept
+FROM documents d
+"""
+
+
+SQL_NEAR_DUP_INGEST = _sql_near_dup_ingest()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2275,6 +2323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "line_dedup": q_line_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_ingest": q_near_dup_ingest,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
         "chunk_documents": q_chunk_documents,
@@ -2341,6 +2390,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": SQL_EXACT_DEDUP,
         "line_dedup": SQL_LINE_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
+        "near_dup_ingest": SQL_NEAR_DUP_INGEST,
         "near_dup_clusters": _sql_clusters(16, 4),
         "cluster_representatives": _sql_cluster_representatives(16, 4),
         "chunk_documents": _sql_chunk_documents(),
