@@ -2251,6 +2251,46 @@ FROM f LEFT JOIN hist h
 """
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling window features over the event stream
+    (operators/features.py): lag-1/lag-2 value, 3-row rolling sum and
+    mean, 1-hour range sum/count, cumulative observation count — every
+    feature over ONE hash Exchange + one sort (plan-pinned in
+    tests/test_features.py); floats rounded to 6 for cross-engine
+    value identity."""
+    from .operators.features import rolling_features
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    return rolling_features(
+        ev, ["user_id"], "ts", "value", tiebreak="event_id",
+        lags=(1, 2), row_windows=(3,), range_windows_seconds=(3600,))
+
+
+SQL_ROLLING_FEATURES = """
+WITH e AS (
+  SELECT event_id, user_id, ts, value,
+         epoch_us(ts) / 1000000.0 AS ep
+  FROM events)
+SELECT event_id, user_id, ts, value,
+       lag(value, 1) OVER w AS lag_1,
+       lag(value, 2) OVER w AS lag_2,
+       round(sum(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS roll_sum_3,
+       round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS roll_mean_3,
+       round(sum(value) OVER r, 6) AS range_sum_3600s,
+       count(*) OVER r AS range_count_3600s,
+       count(*) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cum_count
+FROM e
+WINDOW
+  w AS (PARTITION BY user_id ORDER BY ep, event_id),
+  r AS (PARTITION BY user_id ORDER BY ep
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingestion (operators/neardup_index.py):
     drain documents in THREE ascending-id batches through a maintained
@@ -2324,6 +2364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_ingest": q_near_dup_ingest,
+        "rolling_features": q_rolling_features,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
         "chunk_documents": q_chunk_documents,
@@ -2391,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_ingest": SQL_NEAR_DUP_INGEST,
+        "rolling_features": SQL_ROLLING_FEATURES,
         "near_dup_clusters": _sql_clusters(16, 4),
         "cluster_representatives": _sql_cluster_representatives(16, 4),
         "chunk_documents": _sql_chunk_documents(),
