@@ -172,3 +172,82 @@ def test_special_character_column_names(spark):
     out = asof_join(left, right, [("k`y", "k`y")], "t.s", "rts").collect()
     got = {r["k`y"]: r["va`l"] for r in out}
     assert got == {1: "a", None: None}
+
+
+# ------------------------------------------------- randomized vs merge_asof
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True)])
+def test_randomized_matches_pandas_merge_asof(spark, seed, direction,
+                                              strict):
+    """pandas merge_asof is the de-facto reference semantics for as-of
+    joins; on random tie-heavy integer-timestamp data every
+    (direction, strictness) combination must agree exactly.
+    (Null handling is pinned separately — merge_asof forbids NaN in
+    the on-column.)"""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 40),
+        "ts": rng.integers(0, 25, 40).astype("float64"),
+        "lid": np.arange(40),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 4, 40),
+        "ts": rng.integers(0, 25, 40).astype("float64"),
+        "px": rng.random(40).round(3),
+    }).drop_duplicates(["k", "ts"])  # determinism contract
+
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd.rename(columns={"ts": "rts"})),
+        ["k"], "ts", "rts", direction=direction, strict=strict,
+        payload=["px"],
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts", by="k", direction=direction,
+        allow_exact_matches=not strict,
+    ).sort_values("lid").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(got["px"], want["px"],
+                                   check_names=False)
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_randomized_tolerance_matches_pandas(spark, seed):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    left_pd = pd.DataFrame({
+        "k": rng.integers(0, 3, 30),
+        "ts": rng.integers(0, 40, 30).astype("float64"),
+        "lid": np.arange(30),
+    })
+    right_pd = pd.DataFrame({
+        "k": rng.integers(0, 3, 30),
+        "ts": rng.integers(0, 40, 30).astype("float64"),
+        "px": rng.random(30).round(3),
+    }).drop_duplicates(["k", "ts"])
+
+    got = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd.rename(columns={"ts": "rts"})),
+        ["k"], "ts", "rts", tolerance_seconds=5.0, payload=["px"],
+    ).toPandas().sort_values("lid").reset_index(drop=True)
+
+    want = pd.merge_asof(
+        left_pd.sort_values("ts", kind="stable"),
+        right_pd.sort_values("ts", kind="stable"),
+        on="ts", by="k", tolerance=5.0,
+    ).sort_values("lid").reset_index(drop=True)
+
+    pd.testing.assert_series_equal(got["px"], want["px"],
+                                   check_names=False)
