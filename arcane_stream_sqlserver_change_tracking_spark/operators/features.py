@@ -33,7 +33,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ._join_common import qcol
+from ._join_common import check_reserved_names, qcol
 from ._time import epoch_seconds
 
 
@@ -65,6 +65,15 @@ def rolling_features(
     """
     if not keys:
         raise ValueError("rolling_features needs at least one key column")
+    feature_names = (
+        [f"lag_{n}" for n in lags]
+        + [f"roll_{agg}_{n}" for n in row_windows for agg in ("sum", "mean")]
+        + [f"range_{agg}_{s}s" for s in range_windows_seconds
+           for agg in ("sum", "count")]
+        + ["cum_count"])
+    # silent duplicate output columns otherwise — fail fast like the
+    # temporal joins do
+    check_reserved_names(feature_names, ("input", df.columns))
     ts = epoch_seconds(qcol(ts_col), df.schema[ts_col].dataType)
     order = [ts.asc(), qcol(tiebreak).asc()]
     base = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(*order)

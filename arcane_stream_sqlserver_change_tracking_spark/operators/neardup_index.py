@@ -96,14 +96,20 @@ class NearDupIndex:
         num_bands: int = 4,
         threshold: float = 0.5,
         buckets: int = 16,
+        text_col: str = "text",
+        id_col: str = "doc_id",
     ) -> None:
         if num_perms % num_bands:
             raise ValueError("num_perms must be divisible by num_bands")
         self.path = path
+        # text_col/id_col are index-level, not per-call: mixed id
+        # columns would write divergent schemas into one dataset, so
+        # they live in the sidecar and are guarded like every other
+        # parameter.
         self.params = {
             "shingle_k": shingle_k, "num_perms": num_perms,
             "num_bands": num_bands, "threshold": threshold,
-            "buckets": buckets,
+            "buckets": buckets, "text_col": text_col, "id_col": id_col,
         }
         os.makedirs(path, exist_ok=True)
         sidecar = os.path.join(path, _PARAMS_FILE)
@@ -180,49 +186,52 @@ class NearDupIndex:
         )
 
     # ------------------------------------------------------------------
-    def filter_batch(
-        self,
-        batch: DataFrame,
-        label: str,
-        *,
-        text_col: str = "text",
-        id_col: str = "doc_id",
-    ) -> DataFrame:
+    def filter_batch(self, batch: DataFrame, label: str) -> DataFrame:
         """Filter ``batch`` against everything previously seen AND
         against lower-id rows of the batch itself, then append the
         batch's band rows (with kept flags) to the index. Returns the
         kept rows of ``batch``. Idempotent per ``label``: a replay
         overwrites its own partitions and returns the same rows."""
         spark = batch.sparkSession
-        bands = self._band_rows(batch, text_col, id_col)
+        text_col = self.params["text_col"]
+        id_col = self.params["id_col"]
+        # the band pipeline (shingle explode + 16 md5-min groupBy) is
+        # the batch's dominant cost and feeds FOUR consumers (both
+        # sides of the in-batch self-join, the index lookup, the
+        # decided re-join) plus the touched-bucket collect — persist
+        # so it is computed once, not per consumer
+        bands = self._band_rows(batch, text_col, id_col).persist()
+        try:
+            # in-batch precedence: lower id wins
+            dropped = self._verified(bands, bands, id_col,
+                                     precedence="lower_id")
+            idx = self._read(spark)
+            if idx is not None:
+                # touched-bucket pruning: the collect is bounded by the
+                # bucket count (a constructor parameter), not the data
+                touched = [r[0] for r in
+                           bands.select(_BUCKET).distinct().collect()]
+                old = idx.where((F.col(_LABEL) != label)
+                                & F.col(_BUCKET).isin(touched))
+                dropped = dropped.unionByName(
+                    self._verified(bands, old, id_col,
+                                   precedence="any")).distinct()
 
-        # in-batch precedence: lower id wins
-        dropped = self._verified(bands, bands, id_col,
-                                 precedence="lower_id")
-        idx = self._read(spark)
-        if idx is not None:
-            # touched-bucket pruning: the collect is bounded by the
-            # bucket count (a constructor parameter), not the data
-            touched = [r[0] for r in
-                       bands.select(_BUCKET).distinct().collect()]
-            old = idx.where((F.col(_LABEL) != label)
-                            & F.col(_BUCKET).isin(touched))
-            dropped = dropped.unionByName(
-                self._verified(bands, old, id_col,
-                               precedence="any")).distinct()
-
-        decided = bands.join(
-            dropped.withColumn("__dropped", F.lit(True)),
-            on=id_col, how="left")
-        out = decided.select(
-            id_col, "band_idx", "band_hash", "sig", _BUCKET,
-            (~F.coalesce(F.col("__dropped"), F.lit(False))).alias("kept"),
-            F.lit(label).alias(_LABEL),
-        )
-        (out.write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy(_LABEL, _BUCKET)
-         .parquet(self.path))
+            decided = bands.join(
+                dropped.withColumn("__dropped", F.lit(True)),
+                on=id_col, how="left")
+            out = decided.select(
+                id_col, "band_idx", "band_hash", "sig", _BUCKET,
+                (~F.coalesce(F.col("__dropped"), F.lit(False)))
+                .alias("kept"),
+                F.lit(label).alias(_LABEL),
+            )
+            (out.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(_LABEL, _BUCKET)
+             .parquet(self.path))
+        finally:
+            bands.unpersist()
 
         kept_ids = (
             spark.read.parquet(self.path)
@@ -237,7 +246,4 @@ class NearDupIndex:
         idx = self._read(spark)
         if idx is None:
             raise ValueError(f"index at {self.path} has no batches yet")
-        id_col = [c for c in idx.columns
-                  if c not in ("band_idx", "band_hash", "sig", "kept",
-                               _BUCKET, _LABEL)][0]
-        return idx.select(id_col, "kept", _LABEL).distinct()
+        return idx.select(self.params["id_col"], "kept", _LABEL).distinct()

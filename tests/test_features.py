@@ -56,7 +56,8 @@ def test_tiebreak_orders_equal_timestamps(spark):
         df, ["k"], "ts", "v", tiebreak="eid").collect()}
     # eid asc breaks the tie: 1 first (no lag), 2 second (lag=100)
     assert out[1].lag_1 is None and out[2].lag_1 == 100.0
-    # RANGE frames ignore the tiebreak — equal ts share one frame
+    # cum_count uses a ROWS frame, so the tiebreak splits the tie:
+    # counts 1 then 2 (a RANGE frame would give both rows 2)
     assert out[1].cum_count == 1 and out[2].cum_count == 2
 
 
@@ -73,3 +74,9 @@ def test_plan_one_exchange_shared_windows(obs):
 def test_needs_keys(obs):
     with pytest.raises(ValueError, match="at least one key"):
         rolling_features(obs, [], "ts", "v", tiebreak="eid")
+
+
+def test_feature_name_collision_fails_fast(obs):
+    with pytest.raises(ValueError, match="internal working names"):
+        rolling_features(obs.withColumnRenamed("v", "cum_count"),
+                         ["k"], "ts", "cum_count", tiebreak="eid")

@@ -140,6 +140,10 @@ def test_param_mismatch_fails_fast(tmp_path):
     NearDupIndex(p, num_perms=16, num_bands=4)
     with pytest.raises(ValueError, match="was built with"):
         NearDupIndex(p, num_perms=32, num_bands=4)
+    # id/text columns are index-level too: mixed id columns would
+    # write divergent schemas into one dataset
+    with pytest.raises(ValueError, match="was built with"):
+        NearDupIndex(p, num_perms=16, num_bands=4, id_col="content_id")
 
 
 def test_bad_band_split_rejected(tmp_path):
