@@ -2142,6 +2142,30 @@ def q_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
 
 
+def q_asof_latest_order_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast as-of variant (operators/asof.py asof_join_broadcast)
+    over the SAME inputs and output contract as asof_latest_order —
+    the 100 TB enrichment plan: the dimension histories pack into one
+    sorted array row per key and broadcast, so the fact side is never
+    shuffled, sorted, or row-multiplied (BroadcastHashJoin + in-row
+    array probe; plan-pinned in tests/test_asof.py). Shares
+    SQL_ASOF_LATEST_ORDER as its oracle: equal values through two
+    entirely different physical strategies is the point."""
+    from .operators.asof import asof_join_broadcast
+
+    ev = _t(spark, sf_dir, "events")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"),
+             F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"))
+    )
+    return asof_join_broadcast(
+        ev, orders, [("user_id", "o_custkey")], "ts", "o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+    ).select("event_id", "user_id", "ts", "o_orderkey", "o_totalprice")
+
+
 SQL_ASOF_LATEST_ORDER = """
 WITH r AS (
   SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
@@ -2400,6 +2424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_stats": q_json_props_stats,
         "asof_prev_purchase": q_asof_prev_purchase,
         "asof_latest_order": q_asof_latest_order,
+        "asof_latest_order_bcast": q_asof_latest_order_bcast,
         "interval_join_sessions": q_interval_join_sessions,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "skew_report": q_skew_report,
@@ -2468,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
         "json_props_stats": SQL_JSON_PROPS,
         "asof_prev_purchase": SQL_ASOF_PREV_PURCHASE,
         "asof_latest_order": SQL_ASOF_LATEST_ORDER,
+        "asof_latest_order_bcast": SQL_ASOF_LATEST_ORDER,
         "interval_join_sessions": SQL_INTERVAL_SESSIONS,
         "scd2_asof_lookup": SQL_SCD2_ASOF,
         "skew_report": SQL_SKEW_REPORT,

@@ -62,10 +62,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from ._join_common import (
     all_not_null,
-    qcol,
     check_payload_collisions,
+    check_reserved_names,
     default_payload,
     normalize_keys,
+    qcol,
+    quote_name as _quote,
 )
 
 _TS = "__asof_ts"
@@ -172,6 +174,104 @@ def asof_join(
 
     return matched.select(
         *[F.col(_LEFT).getField(c).alias(c) for c in left.columns],
+        *[m.getField(c).alias(c) for c in payload],
+    )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str | tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    *,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """``asof_join`` for a SMALL right side — identical output
+    contract, different physical plan.
+
+    The union–sort–window plan shuffles BOTH sides on the key; when
+    the left side is the 100 TB fact table and the right side is a
+    dimension history that fits in a broadcast (the overwhelmingly
+    common enrichment case), that Exchange of the fact table is the
+    entire cost of the join. Here the right side is packed into ONE
+    row per key — a sorted array of (epoch, ts, payload) structs —
+    and broadcast, so the fact side is never shuffled, never sorted,
+    and never row-multiplied: the plan is a BroadcastHashJoin plus a
+    per-row array probe (``filter`` + ``get``), with the only
+    Exchange being the small side's own pack aggregate.
+
+    Bounds: the whole packed right side must fit in a broadcast, and
+    a single key's history must be comfortable in one row (dimension
+    histories are; an unbounded event feed is not — use ``asof_join``
+    there). The per-row probe is O(versions-per-key); histories are
+    short, and the scan stays in whole-stage codegen.
+
+    Same determinism contract as ``asof_join`` (right unique per
+    (key, ts)); same null semantics (null-key/ts right rows dropped;
+    null-key/ts left rows keep a null match).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    keys = normalize_keys(on)
+    if not keys:
+        raise ValueError("asof_join_broadcast needs at least one key column")
+    rkey_names = [rk for _, rk in keys]
+    if payload is None:
+        payload = default_payload(right.columns, [*rkey_names, right_ts])
+    payload = list(payload)
+    check_payload_collisions(payload, left.columns, "left")
+
+    from ._time import epoch_seconds
+
+    key_aliases = [f"__asof_k{i}" for i in range(len(keys))]
+    arr = "__asof_arr"
+    check_reserved_names([arr, *key_aliases], ("left", left.columns))
+
+    r_epoch = epoch_seconds(qcol(right_ts), right.schema[right_ts].dataType)
+    packed = (
+        right
+        .where(qcol(right_ts).isNotNull()
+               & all_not_null([rk for _, rk in keys]))
+        .groupBy(*[qcol(rk).alias(a)
+                   for (_, rk), a in zip(keys, key_aliases)])
+        .agg(F.sort_array(F.collect_list(F.struct(
+            r_epoch.alias("__e"),
+            qcol(right_ts).alias(_MATCH_TS),
+            *[qcol(c).alias(c) for c in payload])))
+            .alias(arr))
+    )
+
+    join_cond = None
+    for (lk, _), a in zip(keys, key_aliases):
+        c = left[_quote(lk)] == packed[a]
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = left.join(F.broadcast(packed), join_cond, "left")
+
+    l_e = epoch_seconds(left[_quote(left_ts)],
+                        left.schema[left_ts].dataType)
+    if direction == "backward":
+        keep = ((lambda x: x["__e"] < l_e) if strict
+                else (lambda x: x["__e"] <= l_e))
+    else:
+        keep = ((lambda x: x["__e"] > l_e) if strict
+                else (lambda x: x["__e"] >= l_e))
+    cand = F.filter(F.col(arr), keep)
+    # array is epoch-ascending: backward match = last qualifier,
+    # forward match = first. F.get is null-safe out of bounds (the
+    # empty/null-array and null-left-ts cases).
+    m = (F.get(cand, F.size(cand) - 1) if direction == "backward"
+         else F.get(cand, 0))
+    if tolerance_seconds is not None:
+        gap = F.abs(l_e - m["__e"])
+        m = F.when(m.isNotNull()
+                   & (gap <= F.lit(float(tolerance_seconds))), m)
+
+    return joined.select(
+        *[left[_quote(c)].alias(c) for c in left.columns],
         *[m.getField(c).alias(c) for c in payload],
     )
 

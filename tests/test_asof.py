@@ -251,3 +251,83 @@ def test_randomized_tolerance_matches_pandas(spark, seed):
 
     pd.testing.assert_series_equal(got["px"], want["px"],
                                    check_names=False)
+
+
+# ------------------------------------------------- broadcast variant
+
+from arcane_stream_sqlserver_change_tracking_spark.operators.asof import (  # noqa: E402
+    asof_join_broadcast,
+)
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True)])
+def test_broadcast_variant_equals_shuffle_variant(spark, seed,
+                                                  direction, strict):
+    """asof_join_broadcast must be plan-for-plan different but
+    value-for-value identical to asof_join on tie-heavy random data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    lp = pd.DataFrame({"k": rng.integers(0, 4, 40),
+                       "ts": rng.integers(0, 25, 40).astype("float64"),
+                       "lid": np.arange(40)})
+    rp = pd.DataFrame({"k": rng.integers(0, 4, 40),
+                       "rts": rng.integers(0, 25, 40).astype("float64"),
+                       "px": rng.random(40).round(3)}
+                      ).drop_duplicates(["k", "rts"])
+    L, R = spark.createDataFrame(lp), spark.createDataFrame(rp)
+    a = asof_join(L, R, ["k"], "ts", "rts", direction=direction,
+                  strict=strict, payload=["px"]
+                  ).toPandas().sort_values("lid").reset_index(drop=True)
+    b = asof_join_broadcast(L, R, ["k"], "ts", "rts",
+                            direction=direction, strict=strict,
+                            payload=["px"]
+                            ).toPandas().sort_values("lid").reset_index(
+                                drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_variant_tolerance_and_nulls(spark):
+    import pandas as pd
+
+    L = spark.createDataFrame(
+        [(1, 10.0, 1), (1, None, 2), (None, 5.0, 3), (2, 9.0, 4)],
+        "k int, ts double, lid int")
+    R = spark.createDataFrame(
+        [(1, 1.0, "old"), (1, 9.5, "new"), (None, 4.0, "nullk"),
+         (2, None, "nullts")],
+        "k int, rts double, v string")
+    a = asof_join(L, R, ["k"], "ts", "rts", tolerance_seconds=2.0
+                  ).toPandas().sort_values("lid").reset_index(drop=True)
+    b = asof_join_broadcast(L, R, ["k"], "ts", "rts",
+                            tolerance_seconds=2.0
+                            ).toPandas().sort_values("lid").reset_index(
+                                drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    got = {r.lid: r.v for r in spark.createDataFrame(b).collect()}
+    # lid 1: nearest within 2s is 9.5; lid 2/3: null ts/key -> null;
+    # lid 4: key 2's only row has null ts (dropped) -> null
+    assert got == {1: "new", 2: None, 3: None, 4: None}
+
+
+def test_broadcast_variant_plan_never_shuffles_the_fact_side(spark,
+                                                             sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = spark.createDataFrame(
+        [(u, float(v), v * 10) for u in range(5) for v in range(3)],
+        "d_user long, d_ts double, d_val int")
+    out = asof_join_broadcast(ev, dim, [("user_id", "d_user")],
+                              "ts", "d_ts", payload=["d_val"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
+    # the ONLY hash Exchange is the small side's pack aggregate — the
+    # fact (parquet) side is never shuffled or sorted: every Exchange
+    # in the plan sits below the BroadcastExchange, none above the
+    # events scan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
