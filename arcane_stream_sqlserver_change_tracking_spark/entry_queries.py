@@ -2199,6 +2199,27 @@ def q_interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "session_idx", "n_events")
 
 
+def q_interval_join_sessions_bcast(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Broadcast interval-join variant (operators/intervals.py
+    interval_join_broadcast) over the SAME inputs and output contract
+    as interval_join_sessions: the session intervals pack into one
+    array row per user and broadcast, each event probes the array
+    in-row and explodes its hits — the event side is never shuffled
+    (plan-pinned in tests/test_intervals.py), and there is no bin
+    width to tune. Shares SQL_INTERVAL_SESSIONS as its oracle."""
+    from .operators.intervals import interval_join_broadcast
+
+    ev = _t(spark, sf_dir, "events")
+    sess = session_stats(ev, gap_seconds=1800).withColumnRenamed(
+        "user_id", "s_user")
+    return interval_join_broadcast(
+        ev, sess, [("user_id", "s_user")], "ts",
+        "session_start", "session_end", bounds="[]",
+        payload=["session_idx", "n_events"],
+    ).select("event_id", "user_id", "ts", "session_idx", "n_events")
+
+
 SQL_INTERVAL_SESSIONS = """
 WITH ordered AS (
   SELECT user_id, ts, event_id,
@@ -2426,6 +2447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_order": q_asof_latest_order,
         "asof_latest_order_bcast": q_asof_latest_order_bcast,
         "interval_join_sessions": q_interval_join_sessions,
+        "interval_join_sessions_bcast": q_interval_join_sessions_bcast,
         "scd2_asof_lookup": q_scd2_asof_lookup,
         "skew_report": q_skew_report,
         "expectation_report": q_expectation_report,
@@ -2495,6 +2517,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_order": SQL_ASOF_LATEST_ORDER,
         "asof_latest_order_bcast": SQL_ASOF_LATEST_ORDER,
         "interval_join_sessions": SQL_INTERVAL_SESSIONS,
+        "interval_join_sessions_bcast": SQL_INTERVAL_SESSIONS,
         "scd2_asof_lookup": SQL_SCD2_ASOF,
         "skew_report": SQL_SKEW_REPORT,
         "expectation_report": SQL_EXPECTATIONS,

@@ -130,3 +130,81 @@ def interval_join(
         .select(*[left[quote_name(c)] for c in points.columns],
                 *[qcol(c).alias(c) for c in payload])
     )
+
+
+def interval_join_broadcast(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: Sequence[str | tuple[str, str]],
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    *,
+    bounds: str = "[)",
+    payload: Sequence[str] | None = None,
+) -> DataFrame:
+    """``interval_join`` for a SMALL interval side — identical output
+    contract, different physical plan (the companion of
+    asof.py ``asof_join_broadcast``).
+
+    The binned rewrite shuffles the point side on (key, bin); when the
+    points are the 100 TB fact table and the intervals are a bounded
+    window table (maintenance windows, per-entity validity ranges),
+    that Exchange is the whole cost. Here the intervals pack into ONE
+    array row per key and broadcast; each point filters the array for
+    its containing intervals and explodes the hits — BroadcastHashJoin
+    plus an in-row probe, the fact side never shuffled, row
+    multiplication exactly the match count (``explode`` of the hit
+    array preserves the inner-join contract: zero hits → row dropped).
+    No bin width to tune, either — exact bounds are checked directly.
+
+    Bounds: the packed interval side must fit in a broadcast and a
+    single key's intervals in one row.
+    """
+    if bounds not in ("[)", "[]"):
+        raise ValueError(f"bounds must be '[)' or '[]', got {bounds!r}")
+    keys = normalize_keys(on)
+    ikey_names = [ik for _, ik in keys]
+    if payload is None:
+        payload = default_payload(intervals.columns,
+                                  [*ikey_names, start_col, end_col])
+    payload = list(payload)
+    check_payload_collisions(payload, points.columns, "point")
+    key_aliases = [f"__iv_k{i}" for i in range(len(keys))]
+    arr, hit = "__iv_arr", "__iv_hit"
+    check_reserved_names([arr, hit, *key_aliases],
+                         ("points", points.columns), ("payload", payload))
+
+    s = epoch_seconds(qcol(start_col), intervals.schema[start_col].dataType)
+    e = epoch_seconds(qcol(end_col), intervals.schema[end_col].dataType)
+    packed = (
+        intervals
+        .where(s.isNotNull() & e.isNotNull() & (s <= e)
+               & all_not_null(ikey_names))
+        .groupBy(*[qcol(ik).alias(a)
+                   for (_, ik), a in zip(keys, key_aliases)])
+        .agg(F.collect_list(F.struct(
+            s.alias(_IV_S), e.alias(_IV_E),
+            *[qcol(c).alias(c) for c in payload])).alias(arr))
+    )
+
+    join_cond = None
+    for (pk, _), a in zip(keys, key_aliases):
+        c = points[quote_name(pk)] == packed[a]
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = (points.join(F.broadcast(packed), join_cond, "inner")
+              if join_cond is not None
+              else points.crossJoin(F.broadcast(packed)))
+
+    pts = epoch_seconds(points[quote_name(point_ts)],
+                        points.schema[point_ts].dataType)
+    if bounds == "[)":
+        contains = lambda x: (x[_IV_S] <= pts) & (pts < x[_IV_E])  # noqa: E731
+    else:
+        contains = lambda x: (x[_IV_S] <= pts) & (pts <= x[_IV_E])  # noqa: E731
+    return (
+        joined
+        .withColumn(hit, F.explode(F.filter(F.col(arr), contains)))
+        .select(*[points[quote_name(c)].alias(c) for c in points.columns],
+                *[F.col(hit).getField(c).alias(c) for c in payload])
+    )

@@ -140,3 +140,62 @@ def test_special_character_column_names(spark):
     out = interval_join(pts, iv, [("k`1", "k")], "t.s", "s.s", "e`e",
                         bin_width_seconds=5.0).collect()
     assert [(r["k`1"], r["na me"]) for r in out] == [(1, "w1")]
+
+
+# ------------------------------------------------- broadcast variant
+
+from arcane_stream_sqlserver_change_tracking_spark.operators.intervals import (  # noqa: E402
+    interval_join_broadcast,
+)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+@pytest.mark.parametrize("bounds", ["[)", "[]"])
+def test_broadcast_variant_equals_binned_variant(spark, seed, bounds):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    pp = pd.DataFrame({"k": rng.integers(0, 3, 50),
+                       "ts": rng.integers(0, 40, 50).astype("float64"),
+                       "pid": np.arange(50)})
+    s = rng.integers(0, 35, 20).astype("float64")
+    ip = pd.DataFrame({"k": rng.integers(0, 3, 20), "s": s,
+                       "e": s + rng.integers(0, 10, 20),
+                       "w": np.arange(20)})
+    P, I = spark.createDataFrame(pp), spark.createDataFrame(ip)
+    a = interval_join(P, I, ["k"], "ts", "s", "e",
+                      bin_width_seconds=7.0, bounds=bounds
+                      ).toPandas().sort_values(["pid", "w"]).reset_index(
+                          drop=True)
+    b = interval_join_broadcast(P, I, ["k"], "ts", "s", "e",
+                                bounds=bounds
+                                ).toPandas().sort_values(
+                                    ["pid", "w"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_broadcast_variant_plan_never_shuffles_the_point_side(spark,
+                                                              sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = spark.createDataFrame(
+        [(u, float(h * 3600), float(h * 3600 + 1800), h)
+         for u in range(4) for h in range(3)],
+        "w_user long, w_s double, w_e double, w_idx int")
+    # point side keeps its TIMESTAMP_NTZ column — epoch conversion is
+    # the operator's job (mixed ts/numeric axes supported)
+    out = interval_join_broadcast(
+        ev, win, [("user_id", "w_user")], "ts", "w_s", "w_e",
+        payload=["w_idx"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+    # only the small side's pack aggregate shuffles
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_broadcast_variant_reserved_names(spark):
+    pts = spark.createDataFrame([(1, 5.0)], ["k", "__iv_arr"])
+    iv = spark.createDataFrame([(1, 0.0, 9.0, "w")], ["k", "s", "e", "n"])
+    with pytest.raises(ValueError, match="internal working names"):
+        interval_join_broadcast(pts, iv, ["k"], "__iv_arr", "s", "e")
