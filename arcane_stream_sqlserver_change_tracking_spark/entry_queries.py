@@ -2336,6 +2336,32 @@ WINDOW
 """
 
 
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic per-key group limit (operators/dedup.py top_k_per_key):
+    each user's top-3 events by value, tie-broken by event_id, rank
+    exposed. Spark 4's WindowGroupLimit rewrite prunes each map task
+    to its local top-k BEFORE the Exchange (plan-pinned in
+    tests/test_dedup.py) — a hot key ships ≤ k rows per map task, not
+    its history."""
+    from .operators.dedup import top_k_per_key
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return top_k_per_key(ev, "user_id", "value", 3,
+                         tiebreak="event_id", rank_col="rnk"
+                         ).withColumn("rnk", F.col("rnk").cast("long"))
+
+
+SQL_TOPK_EVENTS = """
+SELECT event_id, user_id, value, rnk
+FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events)
+WHERE rnk <= 3
+"""
+
+
 def q_near_dup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup ingestion (operators/neardup_index.py):
     drain documents in THREE ascending-id batches through a maintained
@@ -2409,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_ingest": q_near_dup_ingest,
+        "topk_events_per_user": q_topk_events_per_user,
         "rolling_features": q_rolling_features,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
@@ -2479,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": SQL_LINE_DEDUP,
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_ingest": SQL_NEAR_DUP_INGEST,
+        "topk_events_per_user": SQL_TOPK_EVENTS,
         "rolling_features": SQL_ROLLING_FEATURES,
         "near_dup_clusters": _sql_clusters(16, 4),
         "cluster_representatives": _sql_cluster_representatives(16, 4),

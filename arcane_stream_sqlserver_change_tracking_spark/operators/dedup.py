@@ -108,3 +108,46 @@ def latest_change_per_key(
         .select([F.col(f"{_ROW}.{c}").alias(c) for c in cols])
     )
     return phase2
+
+
+def top_k_per_key(
+    df: DataFrame,
+    keys,
+    order_by,
+    k: int,
+    *,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Generic k>1 generalization of the top-1 family: the k best rows
+    per key by ``order_by`` (first k per ordering). Top-N products per
+    category, k freshest versions per entity, k best-scoring documents
+    per cluster — the everyday group-limit query.
+
+    Plan shape: row_number over (keys, ordering) then ``<= k`` — which
+    Spark 4 rewrites with ``WindowGroupLimit``: each MAP task keeps
+    only its local top-k per key BEFORE the Exchange, so a hot key
+    ships ≤ k·num_map_tasks rows instead of its full history, and the
+    reducer-side sort is over pre-pruned data. That optimizer rewrite
+    (plan-pinned in tests) is why this beats collecting per-key arrays
+    or a self-join at 100 TB.
+
+    ``tiebreak`` (strongly recommended) makes the ordering total —
+    equal ``order_by`` values otherwise rank arbitrarily per engine.
+    ``rank_col`` optionally exposes the 1-based rank in the output.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if isinstance(keys, str):
+        keys = [keys]
+    order = [F.col(order_by).desc() if descending
+             else F.col(order_by).asc()]
+    if tiebreak is not None:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(*[F.col(c) for c in keys]).orderBy(*order)
+    out = (df.withColumn(_ROW, F.row_number().over(w))
+           .filter(F.col(_ROW) <= k))
+    if rank_col is not None:
+        return out.withColumnRenamed(_ROW, rank_col)
+    return out.drop(_ROW)

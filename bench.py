@@ -84,6 +84,11 @@ BENCH_QUERIES = [
     # the binned interval join (equi-join on (key, bin), never BNLJ).
     "asof_prev_purchase",
     "interval_join_sessions",
+    # r5: the broadcast twins — same outputs, fact side never shuffled
+    # (BroadcastHashJoin + in-row probe); tracked so the two physical
+    # strategies stay comparable round over round.
+    "asof_latest_order_bcast",
+    "interval_join_sessions_bcast",
 ]
 
 TRANSCRIPT_PAYLOAD = T.StructType(

@@ -309,3 +309,44 @@ def test_semantic_dedup_min_centroid_sim_keep_rule(spark, sf_dir):
         semantic_dedup(emb, keep="random")
     with pytest.raises(ValueError, match="min_centroid_sim"):
         semantic_dedup(emb, keep="min_centroid_sim", centroids_mode="kmeans")
+
+
+# ------------------------------------------------- top-k per key (r5)
+
+def test_top_k_per_key_values_and_ties(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.dedup import (
+        top_k_per_key,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10, 1), ("a", 30, 2), ("a", 20, 3), ("a", 30, 4),
+         ("b", 5, 5)],
+        ["k", "v", "id"])
+    out = top_k_per_key(df, "k", "v", 2, tiebreak="id", rank_col="r")
+    got = sorted((r.k, r.v, r.id, r.r) for r in out.collect())
+    # tie at v=30 resolved by id asc: id=2 ranks before id=4
+    assert got == [("a", 30, 2, 1), ("a", 30, 4, 2), ("b", 5, 5, 1)]
+    asc = top_k_per_key(df, "k", "v", 1, descending=False,
+                        tiebreak="id")
+    assert sorted((r.k, r.v) for r in asc.collect()) == [("a", 10),
+                                                        ("b", 5)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="k must be"):
+        top_k_per_key(df, "k", "v", 0)
+
+
+def test_top_k_per_key_plan_prunes_map_side(spark, sf_dir):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.dedup import (
+        top_k_per_key,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = top_k_per_key(ev, "user_id", "value", 3, tiebreak="event_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # Spark 4's group-limit rewrite: a Partial WindowGroupLimit prunes
+    # each map task's output to its local top-k BEFORE the Exchange
+    # (hot key ships <= k rows per map task), then a Final pass after
+    assert plan.count("WindowGroupLimit") == 2
+    assert plan.index("WindowGroupLimit") < plan.index(
+        "Exchange hashpartitioning")
+    assert plan.count("Exchange hashpartitioning") == 1
