@@ -2336,6 +2336,38 @@ WINDOW
 """
 
 
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass numeric column profile (operators/diagnostics.py
+    column_profile) over lineitem's measure columns: count/nulls/
+    min/max/mean and exact interpolated quartiles for every column in
+    ONE aggregate — no Expand, one Exchange of one row (plan-pinned).
+    Oracle recomputes each column's row with quantile_cont (the same
+    linear-interpolation definition as Spark's percentile)."""
+    from .operators.diagnostics import column_profile
+
+    li = _t(spark, sf_dir, "lineitem")
+    return column_profile(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+
+
+def _sql_profile_one(c: str) -> str:
+    return f"""
+SELECT '{c}' AS "column", count(*) AS n,
+       count(*) - count({c}) AS n_null,
+       round(min({c})::DOUBLE, 6) AS min_v,
+       round(max({c})::DOUBLE, 6) AS max_v,
+       round(avg({c}), 6) AS mean_v,
+       round(quantile_cont({c}, 0.25), 6) AS p25,
+       round(quantile_cont({c}, 0.50), 6) AS p50,
+       round(quantile_cont({c}, 0.75), 6) AS p75
+FROM lineitem"""
+
+
+SQL_COLUMN_PROFILE = "\nUNION ALL\n".join(
+    _sql_profile_one(c)
+    for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Generic per-key group limit (operators/dedup.py top_k_per_key):
     each user's top-3 events by value, tie-broken by event_id, rank
@@ -2436,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_ingest": q_near_dup_ingest,
         "topk_events_per_user": q_topk_events_per_user,
+        "column_profile": q_column_profile,
         "rolling_features": q_rolling_features,
         "near_dup_clusters": q_near_dup_clusters,
         "cluster_representatives": q_cluster_representatives,
@@ -2507,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _sql_minhash(16, 4),
         "near_dup_ingest": SQL_NEAR_DUP_INGEST,
         "topk_events_per_user": SQL_TOPK_EVENTS,
+        "column_profile": SQL_COLUMN_PROFILE,
         "rolling_features": SQL_ROLLING_FEATURES,
         "near_dup_clusters": _sql_clusters(16, 4),
         "cluster_representatives": _sql_cluster_representatives(16, 4),

@@ -52,3 +52,71 @@ def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20) -> DataFram
             F.expr("cnt * 1000000L div total").cast("long").alias("share_ppm"),
         )
     )
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None,
+                   *, round_to: int = 6) -> DataFrame:
+    """Numeric column profile in ONE scan: per column a row of
+    (column, n, n_null, min_v, max_v, mean_v, p25, p50, p75) — the
+    pre-flight the other diagnostics lean on (is the column worth a
+    bloom filter? do the quantiles justify a range partition? how bad
+    are the nulls before a not_null expectation is enforced?).
+
+    Plan shape: every statistic for every column is an aggregate in a
+    SINGLE ``agg`` — one scan, one partial+final aggregate, one
+    single-partition Exchange of ONE row. Deliberately NO exact
+    distinct count: k ``count_distinct`` aggregates in one pass make
+    Catalyst plan an ``Expand`` that multiplies every scanned row by
+    k (the token_vocab lesson, plan-pinned here as "no Expand node");
+    NDV lives in the ANALYZE path (plans/lake.py) where it is one
+    column per pass by design. Quantiles are Spark's exact
+    ``percentile`` (linear interpolation — the same definition as
+    standard ``quantile_cont``), rounded for cross-engine identity.
+
+    ``columns`` defaults to every numeric column of ``df``.
+    """
+    from pyspark.sql import types as T
+
+    if columns is None:
+        columns = [f.name for f in df.schema.fields
+                   if isinstance(f.dataType, T.NumericType)]
+    if not columns:
+        raise ValueError("column_profile: no numeric columns to profile")
+    for c in columns:
+        if not isinstance(df.schema[c].dataType, T.NumericType):
+            raise ValueError(f"column_profile: {c!r} is not numeric "
+                             f"({df.schema[c].dataType.simpleString()})")
+
+    def _r(col):
+        return F.round(col, round_to)
+
+    aggs = []
+    for c in columns:
+        v = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(v.isNull().cast("long")).alias(f"__nn_{c}"),
+            _r(F.min(v).cast("double")).alias(f"__min_{c}"),
+            _r(F.max(v).cast("double")).alias(f"__max_{c}"),
+            _r(F.avg(v)).alias(f"__mean_{c}"),
+            F.percentile(v, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{c}"),
+        ]
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n"),
+            F.col(f"__nn_{c}").alias("n_null"),
+            F.col(f"__min_{c}").alias("min_v"),
+            F.col(f"__max_{c}").alias("max_v"),
+            F.col(f"__mean_{c}").alias("mean_v"),
+            _r(F.col(f"__q_{c}")[0]).alias("p25"),
+            _r(F.col(f"__q_{c}")[1]).alias("p50"),
+            _r(F.col(f"__q_{c}")[2]).alias("p75"),
+        )
+        for c in columns
+    ]
+    # explode of a literal-length array over the ONE aggregate row —
+    # pure projection, not a second pass
+    return (one.select(F.explode(F.array(*rows)).alias("p"))
+            .select("p.*"))

@@ -44,3 +44,50 @@ def test_skew_report_multi_key(spark):
     out = skew_report(df, ["s", "k"], top_n=10).collect()
     assert [(r["s"], r["k"], r["cnt"]) for r in out] == [
         ("a", 1, 4), ("a", 2, 2), ("b", 1, 1)]
+
+
+# ------------------------------------------------- column profile (r5)
+
+def test_column_profile_values(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.diagnostics import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, None), (3.0, 30), (4.0, 40)],
+        "a double, b int")
+    got = {r.column: r for r in column_profile(df).collect()}
+    a = got["a"]
+    assert (a.n, a.n_null, a.min_v, a.max_v, a.mean_v) == (4, 0, 1.0, 4.0, 2.5)
+    assert (a.p25, a.p50, a.p75) == (1.75, 2.5, 3.25)  # linear interp
+    b = got["b"]
+    assert (b.n, b.n_null, b.min_v, b.max_v) == (4, 1, 10.0, 40.0)
+    assert b.p50 == 30.0  # nulls excluded from quantiles
+
+
+def test_column_profile_one_scan_no_expand(spark, sf_dir):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.diagnostics import (
+        column_profile,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = column_profile(li, ["l_quantity", "l_extendedprice",
+                              "l_discount", "l_tax"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # all stats for all columns in one aggregate: no Expand (the
+    # multi-count_distinct trap), exactly one Exchange (of ONE row)
+    assert "Expand" not in plan
+    assert plan.count("Exchange") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_column_profile_rejects_non_numeric(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.diagnostics import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([("x", 1)], "s string, v int")
+    with pytest.raises(ValueError, match="not numeric"):
+        column_profile(df, ["s"])
+    with pytest.raises(ValueError, match="no numeric"):
+        column_profile(df.select("s"))
