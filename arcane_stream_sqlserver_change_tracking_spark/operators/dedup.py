@@ -141,6 +141,12 @@ def top_k_per_key(
         raise ValueError("k must be >= 1")
     if isinstance(keys, str):
         keys = [keys]
+    from ._join_common import check_reserved_names
+
+    # _ROW would silently overwrite a same-named input column, and a
+    # rank_col colliding with an existing column would emit duplicates
+    reserved = [_ROW] + ([rank_col] if rank_col is not None else [])
+    check_reserved_names(reserved, ("input", df.columns))
     order = [F.col(order_by).desc() if descending
              else F.col(order_by).asc()]
     if tiebreak is not None:

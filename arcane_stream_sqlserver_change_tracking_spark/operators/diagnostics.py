@@ -77,11 +77,16 @@ def column_profile(df: DataFrame, columns: list[str] | None = None,
     """
     from pyspark.sql import types as T
 
+    from ._join_common import qcol
+
     if columns is None:
         columns = [f.name for f in df.schema.fields
                    if isinstance(f.dataType, T.NumericType)]
     if not columns:
         raise ValueError("column_profile: no numeric columns to profile")
+    if len(set(columns)) != len(columns):
+        raise ValueError("column_profile: duplicate column names in "
+                         f"{columns}")
     for c in columns:
         if not isinstance(df.schema[c].dataType, T.NumericType):
             raise ValueError(f"column_profile: {c!r} is not numeric "
@@ -90,31 +95,38 @@ def column_profile(df: DataFrame, columns: list[str] | None = None,
     def _r(col):
         return F.round(col, round_to)
 
-    aggs = []
-    for c in columns:
-        v = F.col(c)
+    # ONE shared row count for all columns (count(1) is column-
+    # independent — k copies would be k redundant per-row buffer
+    # updates in the very aggregate this operator keeps cheap);
+    # internal aliases are positional (__nn_0…), never derived from
+    # user names, and user columns are read via literal quoting (qcol)
+    # so dotted/backticked names profile fine.
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(columns):
+        v = qcol(c)
         aggs += [
-            F.count(F.lit(1)).alias(f"__n_{c}"),
-            F.sum(v.isNull().cast("long")).alias(f"__nn_{c}"),
-            _r(F.min(v).cast("double")).alias(f"__min_{c}"),
-            _r(F.max(v).cast("double")).alias(f"__max_{c}"),
-            _r(F.avg(v)).alias(f"__mean_{c}"),
-            F.percentile(v, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{c}"),
+            # count(when(isNull,1)) is 0 on an empty frame where
+            # sum(cast) would be NULL
+            F.count(F.when(v.isNull(), 1)).alias(f"__nn_{i}"),
+            _r(F.min(v).cast("double")).alias(f"__min_{i}"),
+            _r(F.max(v).cast("double")).alias(f"__max_{i}"),
+            _r(F.avg(v)).alias(f"__mean_{i}"),
+            F.percentile(v, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{i}"),
         ]
     one = df.agg(*aggs)
     rows = [
         F.struct(
             F.lit(c).alias("column"),
-            F.col(f"__n_{c}").alias("n"),
-            F.col(f"__nn_{c}").alias("n_null"),
-            F.col(f"__min_{c}").alias("min_v"),
-            F.col(f"__max_{c}").alias("max_v"),
-            F.col(f"__mean_{c}").alias("mean_v"),
-            _r(F.col(f"__q_{c}")[0]).alias("p25"),
-            _r(F.col(f"__q_{c}")[1]).alias("p50"),
-            _r(F.col(f"__q_{c}")[2]).alias("p75"),
+            F.col("__n").alias("n"),
+            F.col(f"__nn_{i}").alias("n_null"),
+            F.col(f"__min_{i}").alias("min_v"),
+            F.col(f"__max_{i}").alias("max_v"),
+            F.col(f"__mean_{i}").alias("mean_v"),
+            _r(F.col(f"__q_{i}")[0]).alias("p25"),
+            _r(F.col(f"__q_{i}")[1]).alias("p50"),
+            _r(F.col(f"__q_{i}")[2]).alias("p75"),
         )
-        for c in columns
+        for i, c in enumerate(columns)
     ]
     # explode of a literal-length array over the ONE aggregate row —
     # pure projection, not a second pass

@@ -172,7 +172,11 @@ def interval_join_broadcast(
     check_payload_collisions(payload, points.columns, "point")
     key_aliases = [f"__iv_k{i}" for i in range(len(keys))]
     arr, hit = "__iv_arr", "__iv_hit"
-    check_reserved_names([arr, hit, *key_aliases],
+    # _IV_S/_IV_E become FIELD names inside the packed struct, so a
+    # payload (or points) column with those names makes the contains
+    # lambda's field access ambiguous — same reservation as the binned
+    # variant
+    check_reserved_names([arr, hit, _IV_S, _IV_E, *key_aliases],
                          ("points", points.columns), ("payload", payload))
 
     s = epoch_seconds(qcol(start_col), intervals.schema[start_col].dataType)

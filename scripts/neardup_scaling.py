@@ -61,19 +61,24 @@ def worker(cpus: int, n_docs: int) -> None:
     )
     from arcane_stream_sqlserver_change_tracking_spark.session import build_session
 
+    import shutil
+
     spark = build_session(cpus=cpus)
     docs = synth_corpus(spark, n_docs)
     docs.count()  # materialize plan warmup outside the timed window
-    idx = NearDupIndex(tempfile.mkdtemp(prefix="ndscale_"),
-                       num_perms=16, num_bands=4, threshold=0.5,
-                       buckets=32)
-    t0 = time.monotonic()
-    kept = 0
-    half = n_docs // 2
-    for i, (lo, hi) in enumerate([(0, half - 1), (half, n_docs - 1)]):
-        batch = docs.where((docs.doc_id >= lo) & (docs.doc_id <= hi))
-        kept += idx.filter_batch(batch, f"b{i}").count()
-    dt = time.monotonic() - t0
+    root = tempfile.mkdtemp(prefix="ndscale_")
+    try:
+        idx = NearDupIndex(root, num_perms=16, num_bands=4,
+                           threshold=0.5, buckets=32)
+        t0 = time.monotonic()
+        kept = 0
+        half = n_docs // 2
+        for i, (lo, hi) in enumerate([(0, half - 1), (half, n_docs - 1)]):
+            batch = docs.where((docs.doc_id >= lo) & (docs.doc_id <= hi))
+            kept += idx.filter_batch(batch, f"b{i}").count()
+        dt = time.monotonic() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"cpus": cpus, "docs": n_docs, "kept": kept,
                       "seconds": round(dt, 2),
                       "docs_per_sec": round(n_docs / dt, 1)}))

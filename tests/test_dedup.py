@@ -350,3 +350,17 @@ def test_top_k_per_key_plan_prunes_map_side(spark, sf_dir):
     assert plan.index("WindowGroupLimit") < plan.index(
         "Exchange hashpartitioning")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_top_k_per_key_reserved_and_collision_guards(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.dedup import (
+        top_k_per_key,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a", 1, 2)], ["k", "v", "__row"])
+    with _pytest.raises(ValueError, match="internal working names"):
+        top_k_per_key(df, "k", "v", 1)
+    df2 = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with _pytest.raises(ValueError, match="internal working names"):
+        top_k_per_key(df2, "k", "v", 1, rank_col="v")

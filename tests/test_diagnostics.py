@@ -91,3 +91,21 @@ def test_column_profile_rejects_non_numeric(spark):
         column_profile(df, ["s"])
     with pytest.raises(ValueError, match="no numeric"):
         column_profile(df.select("s"))
+
+
+def test_column_profile_empty_frame_and_weird_names(spark):
+    from pyspark.sql import functions as F2
+    from arcane_stream_sqlserver_change_tracking_spark.operators.diagnostics import (
+        column_profile,
+    )
+
+    df = spark.createDataFrame([(1.0,)], ["price.usd"])
+    # dotted name profiles via literal quoting
+    row = column_profile(df).collect()[0]
+    assert row.column == "price.usd" and row.n == 1
+    # empty frame: n_null is 0, not NULL
+    empty = column_profile(df.where(F2.lit(False))).collect()[0]
+    assert (empty.n, empty.n_null) == (0, 0)
+    assert empty.min_v is None and empty.p50 is None
+    with pytest.raises(ValueError, match="duplicate"):
+        column_profile(df, ["price.usd", "price.usd"])

@@ -199,3 +199,12 @@ def test_broadcast_variant_reserved_names(spark):
     iv = spark.createDataFrame([(1, 0.0, 9.0, "w")], ["k", "s", "e", "n"])
     with pytest.raises(ValueError, match="internal working names"):
         interval_join_broadcast(pts, iv, ["k"], "__iv_arr", "s", "e")
+
+
+def test_broadcast_variant_reserves_bound_field_names(spark):
+    pts = spark.createDataFrame([(1, 5.0)], ["k", "ts"])
+    iv = spark.createDataFrame([(1, 0.0, 9.0, "w")],
+                               ["k", "s", "e", "__iv_s"])
+    with pytest.raises(ValueError, match="internal working names"):
+        interval_join_broadcast(pts, iv, ["k"], "ts", "s", "e",
+                                payload=["__iv_s"])
