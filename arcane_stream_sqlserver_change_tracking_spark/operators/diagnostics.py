@@ -55,7 +55,8 @@ def skew_report(df: DataFrame, key_cols: list[str], top_n: int = 20) -> DataFram
 
 
 def column_profile(df: DataFrame, columns: list[str] | None = None,
-                   *, round_to: int = 6) -> DataFrame:
+                   *, round_to: int = 6, exact_quantiles: bool = True,
+                   approx_accuracy: int = 10_000) -> DataFrame:
     """Numeric column profile in ONE scan: per column a row of
     (column, n, n_null, min_v, max_v, mean_v, p25, p50, p75) — the
     pre-flight the other diagnostics lean on (is the column worth a
@@ -74,6 +75,14 @@ def column_profile(df: DataFrame, columns: list[str] | None = None,
     standard ``quantile_cont``), rounded for cross-engine identity.
 
     ``columns`` defaults to every numeric column of ``df``.
+
+    ``exact_quantiles=False`` is the corpus-scale path: exact
+    ``percentile`` buffers every value of every profiled column in the
+    aggregate (fine up to memory, wrong at 100 TB);
+    ``percentile_approx`` keeps a bounded GK sketch per column instead
+    (error ≤ 1/``approx_accuracy`` in rank), same single-pass plan.
+    Approx quantiles return an actual data value rather than an
+    interpolated one, so the exact variant stays the oracle default.
     """
     from pyspark.sql import types as T
 
@@ -111,7 +120,11 @@ def column_profile(df: DataFrame, columns: list[str] | None = None,
             _r(F.min(v).cast("double")).alias(f"__min_{i}"),
             _r(F.max(v).cast("double")).alias(f"__max_{i}"),
             _r(F.avg(v)).alias(f"__mean_{i}"),
-            F.percentile(v, F.lit([0.25, 0.5, 0.75])).alias(f"__q_{i}"),
+            (F.percentile(v, F.lit([0.25, 0.5, 0.75]))
+             if exact_quantiles else
+             F.percentile_approx(v, F.lit([0.25, 0.5, 0.75]),
+                                 F.lit(approx_accuracy)).cast(
+                 "array<double>")).alias(f"__q_{i}"),
         ]
     one = df.agg(*aggs)
     rows = [

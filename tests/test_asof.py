@@ -331,3 +331,18 @@ def test_broadcast_variant_plan_never_shuffles_the_fact_side(spark,
     # events scan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BroadcastExchange" in plan
+
+
+def test_quote_name_roundtrips_hostile_names(spark):
+    """quote_name must make any legal schema name referenceable as one
+    literal part — dots, backticks, spaces, quotes, unicode."""
+    from arcane_stream_sqlserver_change_tracking_spark.operators._join_common import (
+        qcol,
+    )
+
+    names = ["a.b", "a`b", "a``b", "a b", "a'b", 'a"b', "日本語",
+             "a.b`c d", "`leading", "trailing`"]
+    df = spark.createDataFrame([tuple(range(len(names)))], names)
+    got = df.select(*[qcol(n).alias(f"c{i}")
+                      for i, n in enumerate(names)]).first()
+    assert list(got) == list(range(len(names)))

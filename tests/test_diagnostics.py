@@ -109,3 +109,26 @@ def test_column_profile_empty_frame_and_weird_names(spark):
     assert empty.min_v is None and empty.p50 is None
     with pytest.raises(ValueError, match="duplicate"):
         column_profile(df, ["price.usd", "price.usd"])
+
+
+def test_column_profile_approx_quantiles_scale_path(spark):
+    from arcane_stream_sqlserver_change_tracking_spark.operators.diagnostics import (
+        column_profile,
+    )
+
+    df = spark.range(1000).selectExpr("cast(id as double) as x")
+    exact = column_profile(df).collect()[0]
+    approx = column_profile(df, exact_quantiles=False).collect()[0]
+    # approx returns actual data values within rank error; at accuracy
+    # 10k over 1k rows the picked ranks are exact, so quartiles land
+    # within one interpolation step of the exact variant
+    for p_ex, p_ap in [(exact.p25, approx.p25), (exact.p50, approx.p50),
+                       (exact.p75, approx.p75)]:
+        assert abs(p_ex - p_ap) <= 1.0
+    # everything non-quantile is identical, and the plan shape holds
+    assert (exact.n, exact.n_null, exact.min_v, exact.max_v,
+            exact.mean_v) == (approx.n, approx.n_null, approx.min_v,
+                              approx.max_v, approx.mean_v)
+    plan = column_profile(df, exact_quantiles=False)\
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan and plan.count("Exchange") == 1
